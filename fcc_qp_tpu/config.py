@@ -1,0 +1,74 @@
+"""Static configuration: solver options and problem shape.
+
+Parity: `FCCQPOptions` mirrors the reference struct and defaults
+(`/root/reference/src/fcc_qp.hpp:30-35`); `ProblemShape` mirrors the
+constructor arguments (`fcc_qp.hpp:57-73`).
+
+`max_iter` is a static Python int (it bounds the `lax.while_loop`);
+`rho` / `eps_*` are passed into jitted code as traced scalars so they can
+be changed (or adapted per-instance) without retracing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class FCCQPOptions:
+    """Solver options (defaults match `src/fcc_qp.hpp:30-35`)."""
+
+    max_iter: int = 1000
+    rho: float = 1e-6
+    eps_fcone: float = 1e-3
+    eps_bound: float = 1e-6
+
+    def __post_init__(self):
+        if self.max_iter <= 0:
+            raise ValueError("max_iter must be > 0")
+        if self.rho <= 0:
+            raise ValueError("rho must be > 0")
+
+    def replace(self, **kw) -> "FCCQPOptions":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class ProblemShape:
+    """Fixed problem shape — the analog of the reference constructor
+    (`src/fcc_qp.cpp:24-55`): all shapes are static so every solve jits to
+    a fixed-shape program with zero allocation in the hot path.
+
+    Attributes:
+      num_vars: total decision variables (n).
+      num_eq: rows of A_eq (m).
+      nc: number of contact-force variables; multiple of 3.
+      lambda_c_start: index of the first contact-force variable; the
+        contact forces are the contiguous segment
+        ``x[lambda_c_start : lambda_c_start + nc]``.
+    """
+
+    num_vars: int
+    num_eq: int
+    nc: int
+    lambda_c_start: int
+
+    def __post_init__(self):
+        if self.num_vars < 0 or self.num_eq < 0 or self.nc < 0:
+            raise ValueError("dimensions must be non-negative")
+        if self.nc % 3 != 0:
+            raise ValueError("nc must be a multiple of 3")
+        if self.lambda_c_start + self.nc > self.num_vars:
+            raise ValueError("contact segment exceeds num_vars")
+
+    @property
+    def n_cones(self) -> int:
+        return self.nc // 3
+
+    @property
+    def kkt_dim(self) -> int:
+        return self.num_vars + self.num_eq
+
+
+# Canonical robot shapes (see fcc_qp_tpu.models.osc for the generators).
+CASSIE_SHAPE = ProblemShape(num_vars=60, num_eq=38, nc=12, lambda_c_start=38)

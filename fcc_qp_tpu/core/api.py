@@ -1,0 +1,165 @@
+"""Drop-in object-oriented wrapper mirroring the reference Python API.
+
+Parity surface (`/root/reference/src/main.cpp:42-55`): the `FCCQP` class
+with `Solve`, `GetSolution`, `set_rho`, `set_max_iter`, `set_options`,
+`set_warm_start`, `contact_vars_start`, constructed from
+`(num_vars, num_equality_constraints, nc, lambda_c_start)`.
+
+Internally this is a thin stateful shell over the pure-functional solver:
+it owns the `WarmStart` pytree (the analog of the persistent members at
+`src/fcc_qp.hpp:149-153`) and measures wall-clock `solve_time` /
+`factorization_time` with `block_until_ready` around cached jitted
+executables (the analog of the `std::chrono` spans at
+`src/fcc_qp.cpp:67-71,120,188-190`).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fcc_qp_tpu.config import FCCQPOptions, ProblemShape
+from fcc_qp_tpu.core.solver import solve
+from fcc_qp_tpu.ops.kkt import admm_operator
+from fcc_qp_tpu.ops.projections import validate_bounds
+from fcc_qp_tpu.types import FCCQPDetails, FCCQPSolution, QPBatch, WarmStart
+
+
+_solve_jit = jax.jit(solve, static_argnames=("shape", "opts", "warm_start"))
+_admm_operator_jit = jax.jit(admm_operator, static_argnames=("num_vars",))
+
+
+def default_dtype():
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+class FCCQP:
+    """Stateful solver facade with the reference's exact method surface."""
+
+    def __init__(
+        self,
+        num_vars: int,
+        num_equality_constraints: int,
+        nc: int,
+        lambda_c_start: int,
+        dtype=None,
+    ):
+        self.shape = ProblemShape(
+            num_vars=num_vars,
+            num_eq=num_equality_constraints,
+            nc=nc,
+            lambda_c_start=lambda_c_start,
+        )
+        self.dtype = dtype or default_dtype()
+        self._options = FCCQPOptions()
+        self._warm_start = False
+        self._warm: Optional[WarmStart] = None
+        self._solution: Optional[FCCQPSolution] = None
+        self._solve_time = 0.0
+        self._factorization_time = 0.0
+
+    # ---- option setters (parity: src/fcc_qp.hpp:75-91) ----
+    def set_rho(self, rho: float):
+        if rho <= 0:
+            raise ValueError("rho must be > 0")
+        self._options = self._options.replace(rho=float(rho))
+
+    def set_max_iter(self, n: int):
+        if n <= 0:
+            raise ValueError("max_iter must be > 0")
+        self._options = self._options.replace(max_iter=int(n))
+
+    def set_options(self, opt: FCCQPOptions):
+        self._options = opt
+
+    def set_warm_start(self, warm_start: bool):
+        self._warm_start = bool(warm_start)
+
+    def contact_vars_start(self) -> int:
+        return self.shape.lambda_c_start
+
+    @property
+    def options(self) -> FCCQPOptions:
+        return self._options
+
+    # ---- solve ----
+    def _validate(self, qp: QPBatch):
+        """Input validation (parity: asserts at fcc_qp.cpp:122-130)."""
+        s = self.shape
+        if qp.Q.shape != (s.num_vars, s.num_vars):
+            raise ValueError(f"Q must be {(s.num_vars, s.num_vars)}, got {qp.Q.shape}")
+        if qp.b.shape != (s.num_vars,):
+            raise ValueError(f"b must be ({s.num_vars},)")
+        if qp.A_eq.shape != (s.num_eq, s.num_vars):
+            raise ValueError(f"A_eq must be {(s.num_eq, s.num_vars)}")
+        if qp.b_eq.shape != (s.num_eq,):
+            raise ValueError(f"b_eq must be ({s.num_eq},)")
+        if qp.friction_coeffs.shape != (s.n_cones,):
+            raise ValueError(f"friction_coeffs must be ({s.n_cones},)")
+        if qp.lb.shape != (s.num_vars,) or qp.ub.shape != (s.num_vars,):
+            raise ValueError(f"lb/ub must be ({s.num_vars},)")
+        if not bool(validate_bounds(qp.lb, qp.ub)):
+            raise ValueError("invalid bounds: lb > ub somewhere")
+
+    def Solve(self, Q, b, A_eq, b_eq, friction_coeffs, lb, ub):
+        dt = self.dtype
+        qp = QPBatch(
+            Q=jnp.asarray(Q, dt),
+            b=jnp.asarray(b, dt),
+            A_eq=jnp.asarray(A_eq, dt),
+            b_eq=jnp.asarray(b_eq, dt),
+            friction_coeffs=jnp.asarray(np.asarray(friction_coeffs), dt),
+            lb=jnp.asarray(lb, dt),
+            ub=jnp.asarray(ub, dt),
+        )
+        self._validate(qp)
+
+        warm_start = self._warm_start and self._warm is not None
+        warm = self._warm if warm_start else None
+
+        # Time the ADMM-operator build alone for factorization_time
+        # (same cached executable class as inside the solve).
+        rho = jnp.asarray(self._options.rho, dt)
+        t0 = time.perf_counter()
+        F, x_const = _admm_operator_jit(
+            qp.Q, qp.b, qp.A_eq, qp.b_eq, rho, num_vars=self.shape.num_vars
+        )
+        jax.block_until_ready((F, x_const))
+        t1 = time.perf_counter()
+
+        sol, new_warm = _solve_jit(
+            qp,
+            shape=self.shape,
+            opts=self._options,
+            warm=warm,
+            warm_start=warm_start,
+        )
+        jax.block_until_ready(sol)
+        t2 = time.perf_counter()
+
+        self._factorization_time = t1 - t0
+        self._solve_time = t2 - t1
+        self._warm = new_warm
+        self._solution = sol
+
+    def GetSolution(self) -> FCCQPSolution:
+        """Extract results as host types (parity: fcc_qp.cpp:194-207)."""
+        if self._solution is None:
+            raise RuntimeError("call Solve() first")
+        d = self._solution.details
+        details = FCCQPDetails(
+            n_iter=int(d.n_iter),
+            admm_residual_bounds=float(d.admm_residual_bounds),
+            admm_residual_friction_cone=float(d.admm_residual_friction_cone),
+            solve_time=self._solve_time,
+            factorization_time=self._factorization_time,
+            bounds_viol=float(d.bounds_viol),
+            friction_cone_viol=float(d.friction_cone_viol),
+            solve_status=int(d.solve_status),
+        )
+        return FCCQPSolution(details=details, z=np.asarray(self._solution.z))

@@ -1,0 +1,142 @@
+"""KKT system assembly and factorization as TPU-friendly batched ops.
+
+The reference factorizes the dense symmetric-indefinite KKT matrix
+
+    M = [[Q (+ rho*I),  A_eq^T],
+         [A_eq,         0     ]]
+
+once per solve with Eigen LDLT and back-substitutes each ADMM iteration
+(`/root/reference/src/fcc_qp.cpp:62-71,86`). Neither pivoted LDLT nor LU
+is the right primitive on TPU: sequential triangular back-substitution
+per iteration wastes the MXU, and XLA's LU expander is f32-only on TPU.
+This module therefore uses the **Schur-complement Cholesky** form, which
+is mathematically equivalent for the documented problem class (A_eq full
+row-rank, `src/fcc_qp.hpp:108-111`) and maps onto TPU-supported
+primitives (batched Cholesky + triangular solves + matmuls, all of which
+XLA lowers for f32 AND f64 on TPU):
+
+    H = Q + rho*I               (SPD since rho > 0)
+    S = A H^{-1} A^T            (SPD when A full row-rank)
+    M^{-1} = [[F, G], [G^T, -S^{-1}]],
+      W = H^{-1} A^T,  G = W S^{-1},  F = H^{-1} - W S^{-1} W^T
+
+The "factorization" computes the explicit blocks ``F`` and ``x_const``
+so that every ADMM primal update is a single batched mat-vec
+``x = x_const + rho * F @ v`` — one MXU op per iteration, trivially
+vmapped/sharded, no sequential dependency across the batch.
+
+Robustness parity: where the reference falls back from LDLT to a
+rank-revealing CompleteOrthogonalDecomposition (`fcc_qp.cpp:163-177`),
+the TPU-native analog is branchless Tikhonov regularization: if a
+Cholesky factor comes back non-finite (not PD / rank-deficient), the
+factorization is retried with ``+ delta*scale*I`` via a `jnp.where`
+select — per-instance, batch-friendly, no host round-trip.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.scipy.linalg import cho_solve
+
+
+def assemble_kkt(Q: Array, A_eq: Array, rho) -> Array:
+    """Build ``[[Q + rho*I, A'],[A, 0]]`` (reference `fcc_qp.cpp:141-148,62-64`).
+
+    Exposed for tests and for dense-engine experiments; the solver's hot
+    path never materializes M itself.
+    """
+    n = Q.shape[-1]
+    m = A_eq.shape[-2]
+    dtype = Q.dtype
+    Qr = Q + rho * jnp.eye(n, dtype=dtype)
+    top = jnp.concatenate([Qr, jnp.swapaxes(A_eq, -1, -2)], axis=-1)
+    bot = jnp.concatenate(
+        [A_eq, jnp.zeros((*A_eq.shape[:-2], m, m), dtype=dtype)], axis=-1
+    )
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _chol_or_regularized(M: Array, delta: float) -> Array:
+    """Cholesky factor of M, or of ``M + delta*max|M|*I`` where M is not
+    (numerically) PD. Branchless per-instance fallback — the TPU analog
+    of the reference's LDLT -> COD retry (`fcc_qp.cpp:163-177`)."""
+    n = M.shape[-1]
+    L0 = jnp.linalg.cholesky(M)
+    ok = jnp.all(jnp.isfinite(L0), axis=(-2, -1), keepdims=True)
+    scale = delta * jnp.maximum(
+        jnp.max(jnp.abs(M), axis=(-2, -1), keepdims=True), 1.0
+    )
+    M_reg = M + scale * jnp.eye(n, dtype=M.dtype)
+    L1 = jnp.linalg.cholesky(M_reg)
+    return jnp.where(ok, jnp.where(jnp.isfinite(L0), L0, 0.0), L1)
+
+
+def kkt_factor_blocks(
+    Q: Array, A_eq: Array, rho, delta: float = 1e-11
+) -> tuple[Array, Array]:
+    """Schur-complement factorization of the KKT matrix.
+
+    Returns the explicit inverse blocks ``(F, G)`` with
+    ``F = M^{-1}[:n,:n]`` and ``G = M^{-1}[:n,n:]``. All ops are batched
+    Cholesky / triangular-solve / matmul, f64-safe on TPU.
+    """
+    n = Q.shape[-1]
+    dtype = Q.dtype
+    H = Q + rho * jnp.eye(n, dtype=dtype)
+    L_H = _chol_or_regularized(H, delta)
+    At = jnp.swapaxes(A_eq, -1, -2)
+    # W = H^{-1} A^T  and  Hinv = H^{-1}
+    W = cho_solve((L_H, True), At)
+    S = A_eq @ W
+    L_S = _chol_or_regularized(S, delta)
+    # T = S^{-1} W^T  (ne x nv)
+    T = cho_solve((L_S, True), jnp.swapaxes(W, -1, -2))
+    Hinv = cho_solve((L_H, True), jnp.eye(n, dtype=dtype))
+    F = Hinv - W @ T
+    G = jnp.swapaxes(T, -1, -2)
+    return F, G
+
+
+def kkt_solve(
+    Q: Array, A_eq: Array, rho, r: Array, s: Array, delta: float = 1e-11
+) -> Array:
+    """Solve ``[[Q+rho*I, A'],[A, 0]] [x; y] = [r; s]`` for ``x`` only.
+
+    Single-RHS Schur solve used by the presolve
+    (`fcc_qp.cpp:159-178`): cheaper than building the full operator.
+    """
+    n = Q.shape[-1]
+    dtype = Q.dtype
+    H = Q + rho * jnp.eye(n, dtype=dtype)
+    L_H = _chol_or_regularized(H, delta)
+    At = jnp.swapaxes(A_eq, -1, -2)
+    W = cho_solve((L_H, True), At)
+    S = A_eq @ W
+    L_S = _chol_or_regularized(S, delta)
+    u = cho_solve((L_H, True), r[..., None])[..., 0]
+    rhs_y = jnp.einsum("...ij,...j->...i", A_eq, u) - s
+    y = cho_solve((L_S, True), rhs_y[..., None])[..., 0]
+    return u - jnp.einsum("...ij,...j->...i", W, y)
+
+
+def admm_operator(
+    Q: Array, b: Array, A_eq: Array, b_eq: Array, rho, num_vars: int
+) -> tuple[Array, Array]:
+    """Precompute the per-solve ADMM primal-update operator.
+
+    Returns ``(F, x_const)`` such that the primal update of every ADMM
+    iteration (`fcc_qp.cpp:81-87`) is exactly
+
+        ``x = x_const + rho * F @ v``,    v = slack - dual,
+
+    because the KKT RHS is ``[-b + rho*v ; b_eq]`` and only its first
+    block varies across iterations.
+    """
+    del num_vars  # shape is implied by Q; kept for API stability
+    F, G = kkt_factor_blocks(Q, A_eq, rho)
+    x_const = -jnp.einsum("...ij,...j->...i", F, b) + jnp.einsum(
+        "...ij,...j->...i", G, b_eq
+    )
+    return F, x_const
