@@ -1,0 +1,301 @@
+"""Structured whole-body-control (OSC / inverse-dynamics) QP generators.
+
+The reference's only "model" is the Cassie OSC problem shape baked into
+its benchmark (`/root/reference/fcc_qp_test.py:52-56,77`): decision
+variables ``x = [vdot, u, lambda_h, lambda_c, slack]`` with
+``n_vars=60, n_eq=38, nc=12, lambda_c_start=38``, solved against a logged
+walking sequence (`test_data/id_qp_log_walking.npz` — a missing large
+blob in the mount). This module regenerates equivalent data synthetically
+and generalizes it to a family of robot models.
+
+Problem structure (paper `fccqp.pdf` eq. (10)):
+
+  cost       || J_t vdot + Jdot_t_v - yddot_des ||^2_W
+             + w_u ||u||^2 + w_l ||lambda||^2 + w_s ||slack||^2
+  dynamics   M vdot - B u - J_h^T lambda_h - J_c^T lambda_c = -C   (nv rows)
+  holonomic  J_h vdot = -Jdot_h_v                                  (nh rows)
+  contact    J_cr vdot + slack = -Jdot_cr_v                        (ncr rows)
+  bounds     u in [-u_max, u_max]; everything else unbounded
+  cones      lambda_c in product of friction cones
+
+Physical realism matters for solver behavior: the bias force C is built
+from *desired contact forces* that follow a stance/swing gait (normal
+force positive in stance, tangential near a controllable fraction of the
+friction-cone boundary), so the equality-QP optimum has contact forces
+that are mostly cone-interior with episodes of boundary activity — the
+regime in which the reference converges in O(10) warm-started iterations
+(paper Table 1: max_iter=15 suffices on hardware). Actuator bounds are
+calibrated from the unconstrained optimum so a controllable fraction of
+them is active.
+
+Sequences vary smoothly in time (low-pass random walks + a periodic gait
+phase) so that warm starting behaves like the real walking log. All
+generation is NumPy on the host — data then ships to device as one
+stacked `QPBatch`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from fcc_qp_tpu.config import ProblemShape
+
+
+@dataclasses.dataclass(frozen=True)
+class RobotModel:
+    """Dimensions of a WBC QP family.
+
+    n_vars = nv_dof + nu + nh + nc + n_slack; contact forces are the
+    contiguous segment starting at lambda_c_start (matching the Cassie
+    slicing at `fcc_qp_test.py:52-56`).
+    """
+
+    name: str
+    nv_dof: int   # generalized-velocity dims (vdot vars)
+    nu: int       # actuators
+    nh: int       # holonomic constraint forces (lambda_h)
+    nc: int       # contact force vars (3 per cone)
+    nc_rows: int  # contact-constraint rows in A_eq
+    n_slack: int = 0  # soft-contact slack vars appended after lambda_c
+    mu: float = 0.8
+
+    @property
+    def shape(self) -> ProblemShape:
+        return ProblemShape(
+            num_vars=self.nv_dof + self.nu + self.nh + self.nc + self.n_slack,
+            num_eq=self.nv_dof + self.nh + self.nc_rows,
+            nc=self.nc,
+            lambda_c_start=self.nv_dof + self.nu + self.nh,
+        )
+
+
+# Cassie biped: 22 vdot + 10 u + 6 lambda_h + 12 lambda_c + 10 soft-contact
+# slacks = 60 vars; 22 dynamics + 6 holonomic + 10 contact rows = 38
+# equality rows -- exactly the reference benchmark dims
+# (`fcc_qp_test.py:52-56,77`: nc=12 at lambda_c_start=38 inside 60 vars
+# implies 10 trailing non-contact variables).
+CASSIE = RobotModel("cassie", nv_dof=22, nu=10, nh=6, nc=12, nc_rows=10,
+                    n_slack=10)
+
+# Quadruped (A1/Go1-class): 18 dof, 12 actuators, 4 point feet.
+QUADRUPED = RobotModel("quadruped", nv_dof=18, nu=12, nh=0, nc=12, nc_rows=12)
+
+# Humanoid (Digit/H1-class): bigger KKT system, 8 contact cones
+# (4-vertex patch per foot).
+HUMANOID = RobotModel("humanoid", nv_dof=29, nu=23, nh=0, nc=24, nc_rows=12)
+
+MODELS = {m.name: m for m in (CASSIE, QUADRUPED, HUMANOID)}
+
+
+class _SmoothWalk:
+    """Low-pass random walk: x_{t+1} = (1-a) x_t + a * noise."""
+
+    def __init__(self, rng, shape, alpha=0.15, scale=1.0):
+        self.rng = rng
+        self.alpha = alpha
+        self.scale = scale
+        self.x = rng.normal(size=shape) * scale
+
+    def step(self):
+        self.x = (1 - self.alpha) * self.x + self.alpha * self.rng.normal(
+            size=self.x.shape
+        ) * self.scale
+        return self.x
+
+
+def _spd(rng, n, cond=30.0):
+    """Random SPD matrix with bounded condition number."""
+    U, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    eigs = np.exp(rng.uniform(0, np.log(cond), size=n))
+    return (U * eigs) @ U.T
+
+
+def _equality_solve(Q, b, A, beq):
+    """Host-side equality-QP KKT solve used to calibrate bounds."""
+    n = Q.shape[0]
+    m = A.shape[0]
+    M = np.zeros((n + m, n + m))
+    M[:n, :n] = Q
+    M[:n, n:] = A.T
+    M[n:, :n] = A
+    rhs = np.concatenate([-b, beq])
+    try:
+        return np.linalg.solve(M, rhs)[:n]
+    except np.linalg.LinAlgError:
+        return np.linalg.lstsq(M, rhs, rcond=None)[0][:n]
+
+
+def generate_osc_sequence(
+    model: RobotModel,
+    T: int,
+    seed: int = 0,
+    gait_period: int = 400,
+    w_u: float = 1e-3,
+    w_l: float = 1e-2,
+    w_slack: float = 1e2,
+    smoothness: float = 0.05,
+    f_normal: float = 400.0,
+    cone_activity: float = 0.5,
+    bound_quantile: float = 0.9,
+):
+    """Generate a length-T smoothly-varying, physically-plausible OSC
+    QP sequence.
+
+    Args:
+      model: robot dimensions.
+      T: sequence length.
+      gait_period: steps per gait cycle (2 kHz log of ~0.2 s steps -> 400).
+      w_u, w_l, w_slack: cost weights for actuators, forces, slacks.
+      smoothness: per-step innovation rate of the random-walk drivers.
+      f_normal: nominal stance normal force per cone (N).
+      cone_activity: fraction of the friction-cone boundary the desired
+        tangential force reaches at peak (>1 -> infeasible desired force,
+        guaranteeing boundary activity).
+      bound_quantile: actuator bounds are set at this quantile of |u*| of
+        the unconstrained solution, so ~(1-q) of entries are active.
+
+    Returns a list of dicts with the exact npz schema the reference
+    replay expects (`fcc_qp_test.py:28-30`):
+    keys ``Q, b, A_eq, b_eq, friction_coeffs, lb, ub``.
+    """
+    rng = np.random.default_rng(seed)
+    nv, nu, nh, nc, ncr = model.nv_dof, model.nu, model.nh, model.nc, model.nc_rows
+    nsl = model.n_slack
+    n = model.shape.num_vars
+    n_cones = nc // 3
+
+    # Fixed robot structure
+    M0 = _spd(rng, nv, cond=50.0)
+    B = np.zeros((nv, nu))
+    B[nv - nu :, :] = np.eye(nu)  # actuated joints are the trailing dofs
+    Jh0 = rng.normal(size=(nh, nv)) if nh else np.zeros((0, nv))
+    Jc0 = rng.normal(size=(nc, nv))
+    n_task = min(nv, 12)
+    Jt0 = rng.normal(size=(n_task, nv))
+    W_task = np.diag(np.exp(rng.uniform(0, 2, size=n_task)))
+
+    # Smooth drivers. `smoothness` scales the per-step innovation rate:
+    # a real 2 kHz control log changes ~0.1% per step.
+    a = smoothness
+    dM = _SmoothWalk(rng, (nv, nv), alpha=0.4 * a, scale=0.02)
+    dJh = _SmoothWalk(rng, Jh0.shape, alpha=0.5 * a, scale=0.05) if nh else None
+    dJc = _SmoothWalk(rng, Jc0.shape, alpha=0.5 * a, scale=0.05)
+    dJt = _SmoothWalk(rng, Jt0.shape, alpha=0.5 * a, scale=0.05)
+    dydd = _SmoothWalk(rng, (n_task,), alpha=a, scale=1.0)
+    dC = _SmoothWalk(rng, (nv,), alpha=a, scale=1.0)
+    dbias_h = _SmoothWalk(rng, (nh,), alpha=a, scale=0.2) if nh else None
+    dbias_c = _SmoothWalk(rng, (ncr,), alpha=a, scale=0.2)
+    # slowly-rotating tangential force directions, one per cone
+    dtan = _SmoothWalk(rng, (n_cones, 2), alpha=0.5 * a, scale=1.0)
+
+    raw = []
+    for t in range(T):
+        phase = 2 * np.pi * t / gait_period
+        Mt = M0 + dM.step()
+        Mt = 0.5 * (Mt + Mt.T) + 1e-3 * np.eye(nv)
+        Jh = Jh0 + (dJh.step() if nh else 0)
+        Jc = Jc0 + dJc.step()
+        Jt = Jt0 + dJt.step()
+        yddot = dydd.step() + 3.0 * np.array(
+            [np.sin(phase + k) for k in range(n_task)]
+        )
+
+        # Desired stance/swing contact forces: alternating-leg gait.
+        # fz: smooth stance profile, zero in swing; fxy: a gait-varying
+        # fraction of the cone boundary mu*fz.
+        f_des = np.zeros(nc)
+        tan = dtan.step()
+        for i in range(n_cones):
+            leg_phase = phase + np.pi * (i % 2)  # alternate legs
+            stance = max(0.0, np.sin(leg_phase)) ** 0.7
+            fz = f_normal * stance
+            frac = cone_activity * (0.5 + 0.5 * np.sin(0.5 * phase + i))
+            d = tan[i] / (np.linalg.norm(tan[i]) + 1e-9)
+            f_des[3 * i : 3 * i + 2] = frac * model.mu * fz * d
+            f_des[3 * i + 2] = fz
+
+        # Bias force consistent with the desired contact forces (so the
+        # equality optimum carries physical, mostly-positive normal
+        # forces), plus noise.
+        C = Jc.T @ f_des + dC.step() * np.sqrt(f_normal)
+
+        Jcr = Jc[:ncr]
+
+        # Cost
+        Q = np.zeros((n, n))
+        Q[:nv, :nv] = Jt.T @ W_task @ Jt + 1e-6 * np.eye(nv)
+        Q[nv : nv + nu, nv : nv + nu] = w_u * np.eye(nu)
+        Q[nv + nu : nv + nu + nh + nc, nv + nu : nv + nu + nh + nc] = (
+            w_l * np.eye(nh + nc)
+        )
+        if nsl:
+            Q[nv + nu + nh + nc :, nv + nu + nh + nc :] = w_slack * np.eye(nsl)
+        b = np.zeros(n)
+        b[:nv] = -Jt.T @ W_task @ yddot
+        # force tracking: w_l ||lambda_c - f_des||^2 anchors the optimum
+        # near the (mostly cone-interior) desired gait forces, giving the
+        # mild boundary activity seen in real walking logs.
+        b[nv + nu + nh : nv + nu + nh + nc] = -w_l * f_des
+
+        # Equality constraints
+        m = model.shape.num_eq
+        A = np.zeros((m, n))
+        beq = np.zeros(m)
+        A[:nv, :nv] = Mt
+        A[:nv, nv : nv + nu] = -B
+        if nh:
+            A[:nv, nv + nu : nv + nu + nh] = -Jh.T
+        A[:nv, nv + nu + nh : nv + nu + nh + nc] = -Jc.T
+        beq[:nv] = -C
+        if nh:
+            A[nv : nv + nh, :nv] = Jh
+            beq[nv : nv + nh] = -dbias_h.step()
+        # contact rows, with slack coupling when the model has soft
+        # contact constraints: J_cr vdot + s = -Jdot_cr_v
+        A[nv + nh :, :nv] = Jcr
+        if nsl:
+            A[nv + nh :, nv + nu + nh + nc :] = np.eye(ncr, nsl)
+        beq[nv + nh :] = -dbias_c.step()
+
+        raw.append((Q, b, A, beq))
+
+    # Calibrate actuator bounds from the unconstrained optima so the box
+    # constraint is mildly active (like real torque limits in walking).
+    u_stars = np.stack(
+        [_equality_solve(Q, b, A, beq)[nv : nv + nu] for Q, b, A, beq in raw]
+    )
+    # Pool the quantile over time AND actuators so the rule also works
+    # for T=1 (domain-randomized batches), where a per-actuator quantile
+    # would place every bound exactly at the optimum.
+    u_max = np.quantile(np.abs(u_stars), bound_quantile) * np.ones(nu)
+    u_max = np.maximum(u_max, 1e-3)
+
+    qps = []
+    for Q, b, A, beq in raw:
+        lb = np.full(n, -np.inf)
+        ub = np.full(n, np.inf)
+        lb[nv : nv + nu] = -u_max
+        ub[nv : nv + nu] = u_max
+        qps.append(
+            dict(
+                Q=Q,
+                b=b,
+                A_eq=A,
+                b_eq=beq,
+                friction_coeffs=np.full(n_cones, model.mu),
+                lb=lb,
+                ub=ub,
+            )
+        )
+    return qps
+
+
+def generate_osc_batch(model: RobotModel, batch: int, seed: int = 0, **kw):
+    """Domain-randomized batch of independent OSC QPs (one per robot
+    state): T=1 sequences with different seeds, stacked."""
+    out = []
+    for i in range(batch):
+        out.extend(generate_osc_sequence(model, 1, seed=seed + i, **kw))
+    return out

@@ -1,0 +1,107 @@
+"""Tests for the OSC QP generators and log IO."""
+
+import numpy as np
+import pytest
+
+from fcc_qp_tpu import FCCQPOptions, replay, solve_batched
+from fcc_qp_tpu.models.osc import (
+    CASSIE,
+    HUMANOID,
+    QUADRUPED,
+    generate_osc_batch,
+    generate_osc_sequence,
+)
+from fcc_qp_tpu.utils.io import (
+    load_qp_log_npz,
+    load_qp_log_packed,
+    save_qp_log_npz,
+    save_qp_log_packed,
+    stack_qp_dicts,
+    to_qpbatch,
+)
+
+
+class TestRobotModels:
+    def test_cassie_matches_reference_dims(self):
+        # Reference benchmark dims: FCCQP(60, 38, 12, 38)
+        # (`/root/reference/fcc_qp_test.py:77`).
+        s = CASSIE.shape
+        assert (s.num_vars, s.num_eq, s.nc, s.lambda_c_start) == (60, 38, 12, 38)
+
+    def test_all_models_valid(self):
+        for m in (CASSIE, QUADRUPED, HUMANOID):
+            s = m.shape
+            assert s.nc % 3 == 0
+            assert s.lambda_c_start + s.nc <= s.num_vars
+
+    @pytest.mark.parametrize("model", [CASSIE, QUADRUPED])
+    def test_generated_qps_well_posed(self, model):
+        qps = generate_osc_sequence(model, 5, seed=1)
+        s = model.shape
+        for qp in qps:
+            assert qp["Q"].shape == (s.num_vars, s.num_vars)
+            assert qp["A_eq"].shape == (s.num_eq, s.num_vars)
+            # symmetric PSD cost
+            np.testing.assert_allclose(qp["Q"], qp["Q"].T, atol=1e-12)
+            eigs = np.linalg.eigvalsh(qp["Q"])
+            assert eigs.min() > -1e-10
+            # full row-rank equality constraints
+            assert np.linalg.matrix_rank(qp["A_eq"]) == s.num_eq
+            # API contract: contact vars unbounded
+            ls, nc = s.lambda_c_start, s.nc
+            assert np.all(np.isinf(qp["lb"][ls : ls + nc]))
+            assert np.all(np.isinf(qp["ub"][ls : ls + nc]))
+
+    def test_sequence_is_smooth(self):
+        qps = generate_osc_sequence(CASSIE, 10, seed=0)
+        dq = np.linalg.norm(qps[1]["Q"] - qps[0]["Q"]) / np.linalg.norm(qps[0]["Q"])
+        assert dq < 0.1  # consecutive problems are close (warm-startable)
+
+    def test_replay_solves_and_warm_start_helps(self):
+        qps = generate_osc_sequence(CASSIE, 40, seed=0)
+        batch = to_qpbatch(stack_qp_dicts(qps))
+        opts = FCCQPOptions(max_iter=1500, rho=1.0, eps_fcone=1e-4, eps_bound=1e-4)
+        sols, _ = replay(batch, CASSIE.shape, opts)
+        n = np.asarray(sols.details.n_iter)
+        status = np.asarray(sols.details.solve_status)
+        assert (status == 0).mean() > 0.9
+        # warm-started solves need fewer iterations than the cold one
+        assert np.median(n[1:]) < n[0]
+
+    def test_batch_generator(self):
+        qps = generate_osc_batch(QUADRUPED, 8, seed=3)
+        assert len(qps) == 8
+        batch = to_qpbatch(stack_qp_dicts(qps))
+        opts = FCCQPOptions(max_iter=800, rho=1.0, eps_fcone=1e-4, eps_bound=1e-4)
+        sols, _ = solve_batched(batch, QUADRUPED.shape, opts)
+        assert (np.asarray(sols.details.solve_status) == 0).mean() > 0.7
+
+
+class TestLogIO:
+    def test_npz_roundtrip_reference_schema(self, tmp_path):
+        qps = generate_osc_sequence(CASSIE, 4, seed=0)
+        path = str(tmp_path / "id_qp_log_test.npz")
+        save_qp_log_npz(path, qps)
+        loaded = load_qp_log_npz(path)
+        assert len(loaded) == 4
+        # must load exactly like the reference does (fcc_qp_test.py:22-30)
+        data = np.load(path, allow_pickle=True)
+        qp0 = data["qps"][0]
+        for k in ("Q", "b", "A_eq", "b_eq", "friction_coeffs", "lb", "ub"):
+            np.testing.assert_array_equal(qp0[k], qps[0][k])
+
+    def test_packed_roundtrip(self, tmp_path):
+        qps = generate_osc_sequence(QUADRUPED, 3, seed=0)
+        path = str(tmp_path / "log.fqlog")
+        save_qp_log_packed(path, qps)
+        loaded = load_qp_log_packed(path)
+        stacked = stack_qp_dicts(qps)
+        for k in stacked:
+            np.testing.assert_array_equal(loaded[k], stacked[k])
+
+    def test_packed_rejects_garbage(self, tmp_path):
+        path = str(tmp_path / "bad.fqlog")
+        with open(path, "wb") as f:
+            f.write(b"NOPE" + b"\x00" * 100)
+        with pytest.raises(ValueError):
+            load_qp_log_packed(path)
