@@ -1,0 +1,171 @@
+"""FCCQP-TPU benchmark: QP solves/sec/chip on the walking-log replay.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference C++/Eigen solver sustains ~1e4 solves/sec/core
+on the Cassie walking log at the paper's settings (~100 us/solve,
+BASELINE.md). Our headline metric is batched throughput on one chip at
+the repo benchmark tolerance (eps=1e-6, `fcc_qp_test.py:79-82`), on a
+synthetic walking log with the reference's exact problem dimensions.
+
+Extra diagnostics go to stderr; the JSON line is the last stdout line.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=512)
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--max-iter", type=int, default=1000)
+    p.add_argument("--rho", type=float, default=1.0)
+    p.add_argument("--eps", type=float, default=1e-6)
+    p.add_argument("--dtype", choices=["f32", "f64"], default="f64")
+    p.add_argument("--scan-replay", action="store_true",
+                   help="also run the sequential warm-started scan replay")
+    p.add_argument("--timeout", type=float, default=1500.0,
+                   help="watchdog timeout (s) for the measured child run")
+    p.add_argument("--_child", action="store_true", help=argparse.SUPPRESS)
+    return p.parse_args(argv)
+
+
+def main():
+    args = parse_args()
+    if not args._child:
+        # Watchdog: remote-attached TPU runtimes can wedge mid-run; run
+        # the measurement in a child with a timeout and retry once (the
+        # device recovers after the wedged client dies).
+        argv = [sys.executable, os.path.abspath(__file__), "--_child"] + sys.argv[1:]
+        for attempt in (1, 2):
+            try:
+                r = subprocess.run(argv, timeout=args.timeout)
+                sys.exit(r.returncode)
+            except subprocess.TimeoutExpired:
+                if attempt == 1:
+                    log(f"bench attempt 1 timed out after {args.timeout}s; "
+                        "retrying after device recovery")
+                    time.sleep(90)  # let the device recover
+                else:
+                    log(f"bench attempt 2 timed out after {args.timeout}s; giving up")
+        print(json.dumps({
+            "metric": "qp_solves_per_sec_per_chip", "value": 0.0,
+            "unit": "solves/s", "vs_baseline": 0.0,
+        }))
+        sys.exit(1)
+
+    import jax
+
+    if args.dtype == "f64":
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from fcc_qp_tpu import FCCQPOptions, replay, solve_batched
+    from fcc_qp_tpu.models.osc import CASSIE, generate_osc_sequence
+    from fcc_qp_tpu.utils.io import (
+        load_qp_log_packed,
+        save_qp_log_packed,
+        stack_qp_dicts,
+        to_qpbatch,
+    )
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}, dtype={args.dtype}")
+
+    # --- data: synthetic Cassie walking log (reference dims 60/38/12/38,
+    # missing npz regenerated; cached on disk) ---
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "test_data")
+    os.makedirs(cache_dir, exist_ok=True)
+    cache = os.path.join(cache_dir, f"id_qp_log_walking_T{args.batch}.fqlog")
+    if os.path.exists(cache):
+        stacked = load_qp_log_packed(cache)
+        log(f"loaded cached log {cache}")
+    else:
+        t0 = time.perf_counter()
+        qps = generate_osc_sequence(CASSIE, args.batch, seed=0)
+        stacked = stack_qp_dicts(qps)
+        save_qp_log_packed(cache, qps)
+        log(f"generated log in {time.perf_counter()-t0:.1f}s -> {cache}")
+
+    dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
+    batch = to_qpbatch(stacked, dtype=dtype)
+    batch = jax.device_put(batch)
+
+    shape = CASSIE.shape
+    opts = FCCQPOptions(
+        max_iter=args.max_iter, rho=args.rho,
+        eps_fcone=args.eps, eps_bound=args.eps,
+    )
+
+    from fcc_qp_tpu.utils.timing import sync
+
+    # --- batched throughput (headline): whole log as one cold batch ---
+    # NB: timing uses a true device barrier (output fetch); plain
+    # block_until_ready can no-op on remote-attached runtimes.
+    t0 = time.perf_counter()
+    sol, _ = solve_batched(batch, shape, opts)
+    sync(sol)
+    t_compile = time.perf_counter() - t0
+    log(f"first call (compile+run): {t_compile:.1f}s")
+
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        sol, _ = solve_batched(batch, shape, opts)
+        sync(sol)
+        times.append(time.perf_counter() - t0)
+    t_best = min(times)
+
+    n_iter = np.asarray(sol.details.n_iter)
+    status = np.asarray(sol.details.solve_status)
+    conv = (status == 0).mean()
+    log(
+        f"batched: B={args.batch} best={t_best*1e3:.1f}ms "
+        f"iters mean={n_iter.mean():.0f} p50={np.median(n_iter):.0f} "
+        f"max={n_iter.max()} converged={conv*100:.1f}% "
+        f"max_resid=({float(np.max(np.asarray(sol.details.admm_residual_bounds))):.2e},"
+        f"{float(np.max(np.asarray(sol.details.admm_residual_friction_cone))):.2e})"
+    )
+    solves_per_sec = args.batch / t_best
+
+    if args.scan_replay:
+        t0 = time.perf_counter()
+        sols, _ = replay(batch, shape, opts)
+        sync(sols)
+        log(f"scan replay first (compile+run): {time.perf_counter()-t0:.1f}s")
+        t0 = time.perf_counter()
+        sols, _ = replay(batch, shape, opts)
+        sync(sols)
+        t_scan = time.perf_counter() - t0
+        n2 = np.asarray(sols.details.n_iter)
+        log(
+            f"scan replay: {args.batch / t_scan:.0f} solves/sec "
+            f"(warm iters p50={np.median(n2[1:]):.0f})"
+        )
+
+    print(
+        json.dumps(
+            {
+                "metric": "qp_solves_per_sec_per_chip",
+                "value": round(solves_per_sec, 1),
+                "unit": "solves/s",
+                "vs_baseline": round(solves_per_sec / 1e4, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -27,6 +27,7 @@ from fcc_qp_tpu.config import FCCQPOptions, ProblemShape
 from fcc_qp_tpu.core.solver import solve
 from fcc_qp_tpu.ops.kkt import admm_operator
 from fcc_qp_tpu.ops.projections import validate_bounds
+from fcc_qp_tpu.utils.timing import sync
 from fcc_qp_tpu.types import FCCQPDetails, FCCQPSolution, QPBatch, WarmStart
 
 
@@ -129,7 +130,7 @@ class FCCQP:
         F, x_const = _admm_operator_jit(
             qp.Q, qp.b, qp.A_eq, qp.b_eq, rho, num_vars=self.shape.num_vars
         )
-        jax.block_until_ready((F, x_const))
+        sync((F, x_const))
         t1 = time.perf_counter()
 
         sol, new_warm = _solve_jit(
@@ -139,7 +140,7 @@ class FCCQP:
             warm=warm,
             warm_start=warm_start,
         )
-        jax.block_until_ready(sol)
+        sync(sol)
         t2 = time.perf_counter()
 
         self._factorization_time = t1 - t0

@@ -58,19 +58,43 @@ def assemble_kkt(Q: Array, A_eq: Array, rho) -> Array:
     return jnp.concatenate([top, bot], axis=-2)
 
 
-def _chol_or_regularized(M: Array, delta: float) -> Array:
-    """Cholesky factor of M, or of ``M + delta*max|M|*I`` where M is not
-    (numerically) PD. Branchless per-instance fallback — the TPU analog
-    of the reference's LDLT -> COD retry (`fcc_qp.cpp:163-177`)."""
+def _chol_or_regularized(M: Array, delta: float | None = None) -> Array:
+    """Cholesky factor of M, escalating Tikhonov shifts until it exists.
+
+    The TPU analog of the reference's LDLT -> COD retry
+    (`fcc_qp.cpp:163-177`): when M is not numerically PD, retry with
+    ``M + shift*I`` for dtype-scaled shifts ``eps*{1e2, 1e5, 1e8}*|M|``.
+    Implemented as a `lax.while_loop` so the common case costs exactly
+    one factorization, and retries are data-dependent (masked per
+    instance so it vmaps correctly).
+    """
+    del delta  # legacy arg; shifts are dtype-derived
     n = M.shape[-1]
-    L0 = jnp.linalg.cholesky(M)
-    ok = jnp.all(jnp.isfinite(L0), axis=(-2, -1), keepdims=True)
-    scale = delta * jnp.maximum(
-        jnp.max(jnp.abs(M), axis=(-2, -1), keepdims=True), 1.0
+    eps = jnp.finfo(M.dtype).eps
+    scale = jnp.maximum(jnp.max(jnp.abs(M)), 1.0)
+    shifts = scale * eps * jnp.asarray(
+        [0.0, 1e2, 1e5, 1e8], dtype=M.dtype
     )
-    M_reg = M + scale * jnp.eye(n, dtype=M.dtype)
-    L1 = jnp.linalg.cholesky(M_reg)
-    return jnp.where(ok, jnp.where(jnp.isfinite(L0), L0, 0.0), L1)
+    eye = jnp.eye(n, dtype=M.dtype)
+
+    def ok(L):
+        return jnp.all(jnp.isfinite(L))
+
+    def cond(state):
+        k, L = state
+        return (k < shifts.shape[0]) & ~ok(L)
+
+    def body(state):
+        k, L = state
+        Lk = jnp.linalg.cholesky(M + shifts[k] * eye)
+        # masked commit: instances already factored keep their factor
+        return k + 1, jnp.where(ok(L), L, Lk)
+
+    init = (jnp.int32(0), jnp.full_like(M, jnp.nan))
+    _, L = jax.lax.while_loop(cond, body, init)
+    # all attempts failed (pathological input): zeros rather than NaN so
+    # downstream stays finite and violations surface in the details.
+    return jnp.where(ok(L), L, jnp.zeros_like(L))
 
 
 def kkt_factor_blocks(

@@ -1,0 +1,29 @@
+from fcc_qp_tpu.parallel.mesh import (
+    BATCH_AXIS,
+    batch_sharding,
+    init_distributed,
+    make_mesh,
+    pad_batch,
+    replicated,
+    shard_batch_tree,
+)
+from fcc_qp_tpu.parallel.sharded import (
+    BatchSummary,
+    replay_sharded,
+    solve_batched_sharded,
+    summarize,
+)
+
+__all__ = [
+    "BATCH_AXIS",
+    "BatchSummary",
+    "batch_sharding",
+    "init_distributed",
+    "make_mesh",
+    "pad_batch",
+    "replay_sharded",
+    "replicated",
+    "shard_batch_tree",
+    "solve_batched_sharded",
+    "summarize",
+]
