@@ -29,6 +29,7 @@ from fcc_qp_tpu.core.solver import (
     solve_batched,
     replay,
 )
+from fcc_qp_tpu.core.batched import solve_batched_fast
 from fcc_qp_tpu.core.api import FCCQP
 
 __version__ = "0.1.0"
@@ -45,4 +46,5 @@ __all__ = [
     "replay",
     "solve",
     "solve_batched",
+    "solve_batched_fast",
 ]

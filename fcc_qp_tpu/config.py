@@ -16,18 +16,45 @@ import dataclasses
 
 @dataclasses.dataclass(frozen=True)
 class FCCQPOptions:
-    """Solver options (defaults match `src/fcc_qp.hpp:30-35`)."""
+    """Solver options.
+
+    The first four fields and their defaults match the reference struct
+    (`src/fcc_qp.hpp:30-35`). The remaining fields are acceleration
+    features this framework adds (all default-off/neutral, so default
+    behavior is reference-exact):
+
+    * ``alpha``: ADMM over-relaxation in (0, 2); 1.0 = reference.
+    * ``adaptive_rho``: OSQP-style penalty adaptation (the feature the
+      paper notes FCCQP lacks vs OSQP, `fccqp.pdf` Table 2). Requires
+      the batch-level engine (`core.batched.solve_batched_fast`).
+    * ``adaptive_rho_interval``: iterations between adaptation checks.
+    * ``adaptive_rho_tolerance``: adapt when the sqrt primal/dual
+      residual ratio leaves ``[1/tol, tol]``.
+    * ``rho_min`` / ``rho_max``: clamp for adapted rho.
+    """
 
     max_iter: int = 1000
     rho: float = 1e-6
     eps_fcone: float = 1e-3
     eps_bound: float = 1e-6
+    alpha: float = 1.0
+    adaptive_rho: bool = False
+    adaptive_rho_interval: int = 25
+    adaptive_rho_tolerance: float = 2.0
+    rho_min: float = 1e-6
+    rho_max: float = 1e6
 
     def __post_init__(self):
         if self.max_iter <= 0:
             raise ValueError("max_iter must be > 0")
         if self.rho <= 0:
             raise ValueError("rho must be > 0")
+        if not (0.0 < self.alpha < 2.0):
+            raise ValueError("alpha must be in (0, 2)")
+        if self.adaptive_rho_interval <= 0:
+            raise ValueError("adaptive_rho_interval must be > 0")
+        if self.adaptive_rho_tolerance < 1.0:
+            raise ValueError("adaptive_rho_tolerance must be >= 1")
 
     def replace(self, **kw) -> "FCCQPOptions":
         return dataclasses.replace(self, **kw)
