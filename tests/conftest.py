@@ -9,9 +9,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU's AVX codegen contracts mul+add into FMA inside fusions, which
+# silently breaks double-single error-free transforms (ops/ds.py) —
+# degrading ds to f32 precision. SSE4.2 has no FMA, so this pins CPU
+# tests to contraction-free codegen. XLA:TPU does not contract (verified
+# on hardware: ds matvec error 1e-10 vs f64).
+if "xla_cpu_max_isa" not in _flags:
+    _flags = (_flags + " --xla_cpu_max_isa=SSE4_2").strip()
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 

@@ -1,0 +1,118 @@
+"""ds linear algebra vs f64 references (CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import fcc_qp_tpu.ops.ds as ds
+from fcc_qp_tpu.ops.ds_linalg import (
+    chol_regularized_ds,
+    cholesky_ds,
+    matmul_ds,
+    matvec_ds,
+    schur_kkt_factor_ds,
+    transpose_ds,
+    tri_solve_lower_ds,
+    tri_solve_upper_ds,
+)
+
+
+def as_ds(a):
+    return ds.from_f64(jnp.asarray(a, jnp.float64))
+
+
+def spd(rng, B, n, cond=100.0):
+    G = rng.normal(size=(B, n, n))
+    H = np.einsum("bij,bkj->bik", G, G)
+    return H + n * np.eye(n) / cond * np.trace(H, axis1=1, axis2=2)[:, None, None] / n
+
+
+class TestCholeskyDS:
+    def test_matches_f64(self, rng):
+        H = spd(rng, 4, 20)
+        L = cholesky_ds(as_ds(H))
+        got = np.asarray(ds.to_f64(L))
+        ref = np.linalg.cholesky(H)
+        rel = np.max(np.abs(got - ref) / np.maximum(np.abs(ref), 1e-3))
+        assert rel < 1e-10
+
+    def test_regularized_fallback_indefinite(self, rng):
+        H = spd(rng, 3, 10)
+        H[1] -= 2.0 * np.eye(10) * np.abs(H[1]).max()  # make instance 1 indefinite
+        L = chol_regularized_ds(as_ds(H))
+        assert np.all(np.isfinite(np.asarray(L.hi)))
+        # healthy instances unaffected
+        ref = np.linalg.cholesky(H[0])
+        got = np.asarray(ds.to_f64(L))[0]
+        assert np.max(np.abs(got - ref)) < 1e-8
+
+
+class TestTriSolveDS:
+    def test_forward_backward(self, rng):
+        B, n, r = 3, 25, 7
+        H = spd(rng, B, n)
+        L = np.linalg.cholesky(H)
+        X = rng.normal(size=(B, n, r)) * 10
+        rhs = np.einsum("bij,bjr->bir", L, X)
+        got = tri_solve_lower_ds(as_ds(L), as_ds(rhs))
+        assert np.max(np.abs(np.asarray(ds.to_f64(got)) - X)) < 1e-9
+        rhs2 = np.einsum("bji,bjr->bir", L, X)
+        got2 = tri_solve_upper_ds(as_ds(L), as_ds(rhs2))
+        assert np.max(np.abs(np.asarray(ds.to_f64(got2)) - X)) < 1e-9
+
+
+class TestMatmulDS:
+    def test_matmul(self, rng):
+        X = rng.normal(size=(2, 12, 30))
+        Y = rng.normal(size=(2, 30, 9)) * 100
+        got = matmul_ds(as_ds(X), as_ds(Y))
+        ref = X @ Y
+        assert np.max(np.abs(np.asarray(ds.to_f64(got)) - ref)) < 1e-10
+
+    def test_matvec(self, rng):
+        F = rng.normal(size=(5, 60, 60))
+        v = rng.normal(size=(5, 60)) * 400
+        got = matvec_ds(as_ds(F), as_ds(v))
+        ref = np.einsum("bij,bj->bi", F, v)
+        assert np.max(np.abs(np.asarray(ds.to_f64(got)) - ref)) < 1e-9
+
+
+class TestSchurFactorDS:
+    def test_inverse_blocks_match_f64(self, rng):
+        from fcc_qp_tpu.ops.kkt import kkt_factor_blocks
+
+        B, n, m = 3, 22, 9
+        G = rng.normal(size=(B, n, n))
+        Q = np.einsum("bij,bkj->bik", G, G) + 0.5 * np.eye(n)
+        A = rng.normal(size=(B, m, n))
+        rho = np.full(B, 0.7)
+
+        Fd, Gd = schur_kkt_factor_ds(
+            as_ds(Q), as_ds(A), jnp.asarray(rho, jnp.float32)
+        )
+        Fref, Gref = jax.vmap(
+            lambda q, a: kkt_factor_blocks(q, a, jnp.float64(0.7))
+        )(jnp.asarray(Q), jnp.asarray(A))
+        assert np.max(np.abs(np.asarray(ds.to_f64(Fd)) - np.asarray(Fref))) < 1e-9
+        assert np.max(np.abs(np.asarray(ds.to_f64(Gd)) - np.asarray(Gref))) < 1e-9
+
+    def test_kkt_identity(self, rng):
+        """[Q+rho I, A'; A, 0] @ [F; G'] columns == [I; 0]."""
+        B, n, m = 2, 15, 6
+        G_ = rng.normal(size=(B, n, n))
+        Q = np.einsum("bij,bkj->bik", G_, G_) + np.eye(n)
+        A = rng.normal(size=(B, m, n))
+        rho = np.full(B, 0.3)
+        Fd, Gd = schur_kkt_factor_ds(
+            as_ds(Q), as_ds(A), jnp.asarray(rho, jnp.float32)
+        )
+        F = np.asarray(ds.to_f64(Fd))
+        Gm = np.asarray(ds.to_f64(Gd))
+        H = Q + 0.3 * np.eye(n)
+        # H F + A^T (G^T)^T... block identity: H F + A^T Gt = I, A F = 0
+        Gt = np.swapaxes(Gm, 1, 2)
+        r1 = np.einsum("bij,bjk->bik", H, F) + np.einsum("bji,bjk->bik", A, Gt)
+        r2 = np.einsum("bij,bjk->bik", A, F)
+        # full factor chain accumulates ~cond * eps_ds; leave headroom
+        assert np.max(np.abs(r1 - np.eye(n))) < 1e-7
+        assert np.max(np.abs(r2)) < 1e-7
