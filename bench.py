@@ -30,10 +30,15 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--repeats", type=int, default=3)
-    p.add_argument("--max-iter", type=int, default=1000)
+    p.add_argument("--max-iter", type=int, default=2000)
     p.add_argument("--rho", type=float, default=1.0)
     p.add_argument("--eps", type=float, default=1e-6)
-    p.add_argument("--dtype", choices=["f32", "f64"], default="f64")
+    p.add_argument("--engine", choices=["ds", "f64", "f32"], default="ds",
+                   help="ds = double-single mixed precision (TPU-native); "
+                        "f64/f32 = XLA-native dtypes")
+    p.add_argument("--adaptive-rho", dest="adaptive", action="store_true",
+                   default=True)
+    p.add_argument("--no-adaptive-rho", dest="adaptive", action="store_false")
     p.add_argument("--scan-replay", action="store_true",
                    help="also run the sequential warm-started scan replay")
     p.add_argument("--timeout", type=float, default=1500.0,
@@ -68,11 +73,12 @@ def main():
 
     import jax
 
-    if args.dtype == "f64":
+    if args.engine == "f64":
         jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     from fcc_qp_tpu import FCCQPOptions, replay, solve_batched
+    from fcc_qp_tpu.core.ds_engine import solve_batched_ds, to_ds_batch
     from fcc_qp_tpu.models.osc import CASSIE, generate_osc_sequence
     from fcc_qp_tpu.utils.io import (
         load_qp_log_packed,
@@ -82,7 +88,7 @@ def main():
     )
 
     dev = jax.devices()[0]
-    log(f"device: {dev}, dtype={args.dtype}")
+    log(f"device: {dev}, engine={args.engine}, adaptive_rho={args.adaptive}")
 
     # --- data: synthetic Cassie walking log (reference dims 60/38/12/38,
     # missing npz regenerated; cached on disk) ---
@@ -99,15 +105,23 @@ def main():
         save_qp_log_packed(cache, qps)
         log(f"generated log in {time.perf_counter()-t0:.1f}s -> {cache}")
 
-    dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
-    batch = to_qpbatch(stacked, dtype=dtype)
-    batch = jax.device_put(batch)
+    if args.engine == "ds":
+        batch = jax.device_put(to_ds_batch(stacked))
+    else:
+        dtype = jnp.float64 if args.engine == "f64" else jnp.float32
+        batch = jax.device_put(to_qpbatch(stacked, dtype=dtype))
 
     shape = CASSIE.shape
     opts = FCCQPOptions(
         max_iter=args.max_iter, rho=args.rho,
         eps_fcone=args.eps, eps_bound=args.eps,
+        adaptive_rho=args.adaptive, adaptive_rho_interval=100,
     )
+
+    def run_solve(b):
+        if args.engine == "ds":
+            return solve_batched_ds(b, shape, opts)
+        return solve_batched(b, shape, opts.replace(adaptive_rho=False))
 
     from fcc_qp_tpu.utils.timing import sync
 
@@ -115,7 +129,7 @@ def main():
     # NB: timing uses a true device barrier (output fetch); plain
     # block_until_ready can no-op on remote-attached runtimes.
     t0 = time.perf_counter()
-    sol, _ = solve_batched(batch, shape, opts)
+    sol, _ = run_solve(batch)
     sync(sol)
     t_compile = time.perf_counter() - t0
     log(f"first call (compile+run): {t_compile:.1f}s")
@@ -123,7 +137,7 @@ def main():
     times = []
     for _ in range(args.repeats):
         t0 = time.perf_counter()
-        sol, _ = solve_batched(batch, shape, opts)
+        sol, _ = run_solve(batch)
         sync(sol)
         times.append(time.perf_counter() - t0)
     t_best = min(times)
@@ -140,7 +154,9 @@ def main():
     )
     solves_per_sec = args.batch / t_best
 
-    if args.scan_replay:
+    if args.scan_replay and args.engine == "ds":
+        log("scan replay unsupported for ds engine yet; skipping")
+    elif args.scan_replay:
         t0 = time.perf_counter()
         sols, _ = replay(batch, shape, opts)
         sync(sols)

@@ -1,0 +1,84 @@
+"""ds-engine correctness vs the f64 reference engine (CPU)."""
+
+import jax
+import numpy as np
+import pytest
+
+from fcc_qp_tpu import FCCQPOptions, solve_batched_fast
+from fcc_qp_tpu.core.ds_engine import (
+    solve_batched_ds,
+    to_ds_batch,
+)
+from fcc_qp_tpu.models.osc import CASSIE, QUADRUPED, generate_osc_sequence
+from fcc_qp_tpu.utils.io import stack_qp_dicts, to_qpbatch
+
+OPTS = FCCQPOptions(max_iter=300, rho=1.0, eps_fcone=1e-6, eps_bound=1e-6)
+
+
+@pytest.fixture(scope="module")
+def cassie_data():
+    qps = generate_osc_sequence(CASSIE, 8, seed=0)
+    stacked = stack_qp_dicts(qps)
+    return stacked, to_qpbatch(stacked), to_ds_batch(stacked)
+
+
+class TestDsEngine:
+    def test_matches_f64_engine(self, cassie_data):
+        stacked, b64, bds = cassie_data
+        ref, _ = solve_batched_fast(b64, CASSIE.shape, OPTS)
+        got, _ = solve_batched_ds(bds, CASSIE.shape, OPTS)
+        nr = np.asarray(ref.details.n_iter)
+        ng = np.asarray(got.details.n_iter)
+        # trajectories may fork near active-set boundaries; require most
+        # instances to match exactly and none to drift far
+        assert (nr == ng).mean() >= 0.75
+        assert np.max(np.abs(nr.astype(int) - ng.astype(int))) <= 20
+        conv = nr < OPTS.max_iter
+        if conv.any():
+            # converged solutions agree at the residual-tolerance level
+            dz = np.max(np.abs(np.asarray(ref.z) - np.asarray(got.z))[conv])
+            assert dz < 1e-3
+
+    def test_residuals_below_tolerance(self, cassie_data):
+        _, _, bds = cassie_data
+        opts = OPTS.replace(max_iter=2000, adaptive_rho=True)
+        sol, _ = solve_batched_ds(bds, CASSIE.shape, opts)
+        st = np.asarray(sol.details.solve_status)
+        assert (st == 0).all()
+        assert float(np.max(np.asarray(sol.details.admm_residual_bounds))) < 1e-6
+        assert (
+            float(np.max(np.asarray(sol.details.admm_residual_friction_cone)))
+            < 1e-6
+        )
+
+    def test_warm_start_reduces_iterations(self, cassie_data):
+        _, _, bds = cassie_data
+        opts = OPTS.replace(max_iter=2000, adaptive_rho=True)
+        sol1, warm = solve_batched_ds(bds, CASSIE.shape, opts)
+        sol2, _ = solve_batched_ds(
+            bds, CASSIE.shape, opts, warm=warm, warm_start=True
+        )
+        n1 = np.asarray(sol1.details.n_iter)
+        n2 = np.asarray(sol2.details.n_iter)
+        # re-solving the identical problem warm converges immediately
+        assert np.median(n2) <= np.median(n1) * 0.1 + 2
+
+    def test_feasibility_of_solutions(self, cassie_data):
+        stacked, _, bds = cassie_data
+        opts = OPTS.replace(max_iter=2000, adaptive_rho=True)
+        sol, _ = solve_batched_ds(bds, CASSIE.shape, opts)
+        z = np.asarray(sol.z)
+        A = stacked["A_eq"]
+        beq = stacked["b_eq"]
+        eq_res = np.max(np.abs(np.einsum("bij,bj->bi", A, z) - beq))
+        assert eq_res < 1e-5
+        assert float(np.max(np.asarray(sol.details.bounds_viol))) < 1e-4
+        assert float(np.max(np.asarray(sol.details.friction_cone_viol))) < 1e-4
+
+    def test_quadruped_shape(self):
+        qps = generate_osc_sequence(QUADRUPED, 4, seed=2)
+        stacked = stack_qp_dicts(qps)
+        bds = to_ds_batch(stacked)
+        opts = OPTS.replace(max_iter=1500, adaptive_rho=True)
+        sol, _ = solve_batched_ds(bds, QUADRUPED.shape, opts)
+        assert (np.asarray(sol.details.solve_status) == 0).mean() >= 0.75

@@ -18,7 +18,14 @@ from fcc_qp_tpu.ops.ds_linalg import (
 
 
 def as_ds(a):
-    return ds.from_f64(jnp.asarray(a, jnp.float64))
+    """Convert (B, ...) batch-leading numpy to batch-LAST ds."""
+    a = np.moveaxis(np.asarray(a, np.float64), 0, -1)
+    return ds.from_f64(jnp.asarray(a))
+
+
+def back(x_ds):
+    """ds batch-last -> numpy f64 batch-leading."""
+    return np.moveaxis(np.asarray(ds.to_f64(x_ds), np.float64), -1, 0)
 
 
 def spd(rng, B, n, cond=100.0):
@@ -31,7 +38,7 @@ class TestCholeskyDS:
     def test_matches_f64(self, rng):
         H = spd(rng, 4, 20)
         L = cholesky_ds(as_ds(H))
-        got = np.asarray(ds.to_f64(L))
+        got = back(L)
         ref = np.linalg.cholesky(H)
         rel = np.max(np.abs(got - ref) / np.maximum(np.abs(ref), 1e-3))
         assert rel < 1e-10
@@ -43,7 +50,7 @@ class TestCholeskyDS:
         assert np.all(np.isfinite(np.asarray(L.hi)))
         # healthy instances unaffected
         ref = np.linalg.cholesky(H[0])
-        got = np.asarray(ds.to_f64(L))[0]
+        got = back(L)[0]
         assert np.max(np.abs(got - ref)) < 1e-8
 
 
@@ -55,10 +62,10 @@ class TestTriSolveDS:
         X = rng.normal(size=(B, n, r)) * 10
         rhs = np.einsum("bij,bjr->bir", L, X)
         got = tri_solve_lower_ds(as_ds(L), as_ds(rhs))
-        assert np.max(np.abs(np.asarray(ds.to_f64(got)) - X)) < 1e-9
+        assert np.max(np.abs(back(got) - X)) < 1e-9
         rhs2 = np.einsum("bji,bjr->bir", L, X)
         got2 = tri_solve_upper_ds(as_ds(L), as_ds(rhs2))
-        assert np.max(np.abs(np.asarray(ds.to_f64(got2)) - X)) < 1e-9
+        assert np.max(np.abs(back(got2) - X)) < 1e-9
 
 
 class TestMatmulDS:
@@ -67,14 +74,15 @@ class TestMatmulDS:
         Y = rng.normal(size=(2, 30, 9)) * 100
         got = matmul_ds(as_ds(X), as_ds(Y))
         ref = X @ Y
-        assert np.max(np.abs(np.asarray(ds.to_f64(got)) - ref)) < 1e-10
+        assert np.max(np.abs(back(got) - ref)) < 1e-10
 
     def test_matvec(self, rng):
         F = rng.normal(size=(5, 60, 60))
         v = rng.normal(size=(5, 60)) * 400
-        got = matvec_ds(as_ds(F), as_ds(v))
+        # matvec_ds is j-major: pass F^T so y = F v
+        got = matvec_ds(as_ds(np.swapaxes(F, 1, 2)), as_ds(v))
         ref = np.einsum("bij,bj->bi", F, v)
-        assert np.max(np.abs(np.asarray(ds.to_f64(got)) - ref)) < 1e-9
+        assert np.max(np.abs(back(got) - ref)) < 1e-9
 
 
 class TestSchurFactorDS:
@@ -93,8 +101,8 @@ class TestSchurFactorDS:
         Fref, Gref = jax.vmap(
             lambda q, a: kkt_factor_blocks(q, a, jnp.float64(0.7))
         )(jnp.asarray(Q), jnp.asarray(A))
-        assert np.max(np.abs(np.asarray(ds.to_f64(Fd)) - np.asarray(Fref))) < 1e-9
-        assert np.max(np.abs(np.asarray(ds.to_f64(Gd)) - np.asarray(Gref))) < 1e-9
+        assert np.max(np.abs(back(Fd) - np.asarray(Fref))) < 1e-9
+        assert np.max(np.abs(back(Gd) - np.asarray(Gref))) < 1e-9
 
     def test_kkt_identity(self, rng):
         """[Q+rho I, A'; A, 0] @ [F; G'] columns == [I; 0]."""
@@ -106,8 +114,8 @@ class TestSchurFactorDS:
         Fd, Gd = schur_kkt_factor_ds(
             as_ds(Q), as_ds(A), jnp.asarray(rho, jnp.float32)
         )
-        F = np.asarray(ds.to_f64(Fd))
-        Gm = np.asarray(ds.to_f64(Gd))
+        F = back(Fd)
+        Gm = back(Gd)
         H = Q + 0.3 * np.eye(n)
         # H F + A^T (G^T)^T... block identity: H F + A^T Gt = I, A F = 0
         Gt = np.swapaxes(Gm, 1, 2)
