@@ -31,7 +31,7 @@ def parse_args(argv=None):
     p.add_argument("--batch", type=int, default=512)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--max-iter", type=int, default=2000)
-    p.add_argument("--rho", type=float, default=1.0)
+    p.add_argument("--rho", type=float, default=0.05)
     p.add_argument("--eps", type=float, default=1e-6)
     p.add_argument("--engine", choices=["ds", "f64", "f32"], default="ds",
                    help="ds = double-single mixed precision (TPU-native); "
@@ -116,6 +116,7 @@ def main():
         max_iter=args.max_iter, rho=args.rho,
         eps_fcone=args.eps, eps_bound=args.eps,
         adaptive_rho=args.adaptive, adaptive_rho_interval=100,
+        adaptive_rho_max_adaptations=1, presolve="operator",
     )
 
     def run_solve(b):

@@ -30,7 +30,15 @@ class FCCQPOptions:
     * ``adaptive_rho_interval``: iterations between adaptation checks.
     * ``adaptive_rho_tolerance``: adapt when the sqrt primal/dual
       residual ratio leaves ``[1/tol, tol]``.
+    * ``adaptive_rho_max_adaptations``: cap on refactorizations (each
+      costs a full batched factorization).
     * ``rho_min`` / ``rho_max``: clamp for adapted rho.
+    * ``presolve``: "exact" solves the unregularized equality-QP for
+      the cold-start initial guess (reference behavior,
+      `fcc_qp.cpp:159-178`); "operator" reuses the rho-regularized
+      ADMM operator (x_const) as the guess — one factorization fewer
+      per cold solve at the cost of a slightly longer ADMM trajectory.
+      The equality-constrained fast path always uses the exact solve.
     """
 
     max_iter: int = 1000
@@ -41,8 +49,10 @@ class FCCQPOptions:
     adaptive_rho: bool = False
     adaptive_rho_interval: int = 25
     adaptive_rho_tolerance: float = 2.0
+    adaptive_rho_max_adaptations: int = 8
     rho_min: float = 1e-6
     rho_max: float = 1e6
+    presolve: str = "exact"  # "exact" (reference parity) | "operator"
 
     def __post_init__(self):
         if self.max_iter <= 0:
@@ -55,6 +65,8 @@ class FCCQPOptions:
             raise ValueError("adaptive_rho_interval must be > 0")
         if self.adaptive_rho_tolerance < 1.0:
             raise ValueError("adaptive_rho_tolerance must be >= 1")
+        if self.presolve not in ("exact", "operator"):
+            raise ValueError("presolve must be 'exact' or 'operator'")
 
     def replace(self, **kw) -> "FCCQPOptions":
         return dataclasses.replace(self, **kw)

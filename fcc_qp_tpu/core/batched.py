@@ -195,7 +195,9 @@ def _admm_batched(
         so the number of batched refactorizations is O(log(max_iter/K))
         even when some instance adapts at every opportunity — the
         factorization is the expensive step (paper §5.2)."""
-        due = st.it >= st.next_adapt
+        due = (st.it >= st.next_adapt) & (
+            st.n_refactor < opts.adaptive_rho_max_adaptations
+        )
         tol = opts.adaptive_rho_tolerance
         safe = due & (st.prim_norm > 1e-30) & (st.dual_norm > 1e-30) & ~st.done
         ratio = jnp.sqrt(st.prim_norm / jnp.maximum(st.dual_norm, 1e-30))

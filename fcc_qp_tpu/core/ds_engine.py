@@ -223,9 +223,12 @@ def _solve_batched_ds_jit(qp, warm, shape, opts, warm_start):
         mu_x0 = ds.zeros((nv, B), f32)
         mu_lam0 = ds.zeros((nc, B), f32)
         rho0 = jnp.full((B,), opts.rho, f32)
-        x_init = kkt_solve_refined_ds(
-            qp.Q, qp.A_eq, ds.neg(qp.b), qp.b_eq
-        )
+        if opts.presolve == "exact":
+            x_init = kkt_solve_refined_ds(
+                qp.Q, qp.A_eq, ds.neg(qp.b), qp.b_eq
+            )
+        else:
+            x_init = None  # filled from x_const after factorization
 
     # equality-constrained fast path (nc == 0, all-infinite bounds)
     if nc == 0:
@@ -241,6 +244,11 @@ def _solve_batched_ds_jit(qp, warm, shape, opts, warm_start):
         eq_c = jnp.zeros((B,), jnp.bool_)
 
     Fj0, x_const0 = _factor(qp, rho0)
+    if x_init is None:
+        # "operator" presolve: the rho-regularized equality-QP solution
+        # (the v=0 primal update) as cold-start guess — saves the
+        # dedicated unregularized factorization.
+        x_init = x_const0
 
     zeros_b = jnp.zeros((B,), f32)
     init = _DsState(
@@ -323,7 +331,9 @@ def _solve_batched_ds_jit(qp, warm, shape, opts, warm_start):
         )
 
     def adapt(st: _DsState) -> _DsState:
-        due = st.it >= st.next_adapt
+        due = (st.it >= st.next_adapt) & (
+            st.n_refactor < opts.adaptive_rho_max_adaptations
+        )
         tol = opts.adaptive_rho_tolerance
         safe = due & (st.prim_norm > 1e-30) & (st.dual_norm > 1e-30) & ~st.done
         ratio = jnp.sqrt(st.prim_norm / jnp.maximum(st.dual_norm, 1e-30))
