@@ -71,10 +71,22 @@ def _split64(a: np.ndarray) -> DS:
 
 def to_ds_batch(stacked: dict) -> QPBatchDS:
     """Host-side conversion: stacked (T/B-leading) f64 dict with the
-    reference npz schema -> batch-last ds pytree."""
-    def conv(key):
-        a = np.asarray(stacked[key], np.float64)
-        return _split64(np.moveaxis(a, 0, -1))
+    reference npz schema -> batch-last ds pytree.
+
+    Uses the native C++ fused transpose+split (fcc_qp_tpu/native) when
+    available; falls back to numpy."""
+    try:
+        from fcc_qp_tpu.native import io_native
+
+        def conv(key):
+            hi, lo = io_native.ds_split_batch_last(
+                np.asarray(stacked[key], np.float64)
+            )
+            return DS(jnp.asarray(hi), jnp.asarray(lo))
+    except Exception:
+        def conv(key):
+            a = np.asarray(stacked[key], np.float64)
+            return _split64(np.moveaxis(a, 0, -1))
 
     return QPBatchDS(
         Q=conv("Q"),
@@ -189,13 +201,32 @@ def solve_batched_ds(
     opts: FCCQPOptions = FCCQPOptions(),
     warm: Optional[WarmStartDS] = None,
     warm_start: bool = False,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ):
-    """ds-precision batched solve (host wrapper: jit the inner fn)."""
-    return _solve_batched_ds_jit(qp, warm, shape, opts, warm_start)
+    """ds-precision batched solve (host wrapper: jit the inner fn).
+
+    ``use_pallas`` runs the ADMM iteration chunks in the fused Pallas
+    TPU kernel (`ops/pallas_admm.py`): operator resident in VMEM,
+    per-tile early exit. Requires batch % 128 == 0 and alpha == 1.0.
+    ``pallas_interpret`` runs the kernel in interpreter mode (CPU
+    testing).
+    """
+    if use_pallas:
+        assert opts.alpha == 1.0, "pallas path supports alpha=1.0 only"
+        assert qp.batch % 128 == 0, "pallas path requires batch % 128 == 0"
+    return _solve_batched_ds_jit(
+        qp, warm, shape, opts, warm_start, use_pallas, pallas_interpret
+    )
 
 
-@partial(jax.jit, static_argnames=("shape", "opts", "warm_start"))
-def _solve_batched_ds_jit(qp, warm, shape, opts, warm_start):
+@partial(
+    jax.jit,
+    static_argnames=("shape", "opts", "warm_start", "use_pallas", "pallas_interpret"),
+)
+def _solve_batched_ds_jit(
+    qp, warm, shape, opts, warm_start, use_pallas=False, pallas_interpret=False
+):
     nv, nc, ls = shape.num_vars, shape.nc, shape.lambda_c_start
     B = qp.batch
     f32 = qp.Q.hi.dtype
@@ -366,11 +397,35 @@ def _solve_batched_ds_jit(qp, warm, shape, opts, warm_start):
             next_adapt=next_adapt, n_refactor=n_refactor,
         )
 
-    def chunk_body(st: _DsState) -> _DsState:
+    def chunk_body_xla(st: _DsState) -> _DsState:
         st = jax.lax.fori_loop(0, K, lambda _, s: iteration(s), st)
         if opts.adaptive_rho:
             st = adapt(st)
         return st
+
+    def chunk_body_pallas(st: _DsState) -> _DsState:
+        from fcc_qp_tpu.ops.pallas_admm import admm_chunk_pallas
+
+        (x, x_bar, lam_bar, mu_x, mu_lam, done, n_iter,
+         xrn, lrn, prim, dual) = admm_chunk_pallas(
+            st.Fj, st.x_const, qp.lb, qp.ub, qp.friction_coeffs,
+            st.rho, eps_bound, eps_fcone,
+            st.x, st.x_bar, st.lam_bar, st.mu_x, st.mu_lam,
+            st.done, st.n_iter, st.it,
+            shape=shape, K=K, max_iter=opts.max_iter,
+            interpret=pallas_interpret,
+        )
+        st = st._replace(
+            it=st.it + K,
+            x=x, x_bar=x_bar, lam_bar=lam_bar, mu_x=mu_x, mu_lam=mu_lam,
+            x_res_norm=xrn, lam_res_norm=lrn, prim_norm=prim,
+            dual_norm=dual, n_iter=n_iter, done=done,
+        )
+        if opts.adaptive_rho:
+            st = adapt(st)
+        return st
+
+    chunk_body = chunk_body_pallas if use_pallas else chunk_body_xla
 
     def chunk_cond(st: _DsState):
         return (st.it < n_chunks * K) & ~jnp.all(st.done)
