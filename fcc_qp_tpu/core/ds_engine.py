@@ -476,3 +476,50 @@ def _solve_batched_ds_jit(
         rho=st.rho,
     )
     return sol, new_warm
+
+
+def replay_ds(
+    qps: QPBatchDS,
+    shape: ProblemShape,
+    opts: FCCQPOptions = FCCQPOptions(),
+    use_pallas: bool = False,
+):
+    """Sequential warm-started replay in ds precision.
+
+    The ds analog of `core.solver.replay` (reference loop,
+    `fcc_qp_test.py:85-89`): step 0 cold, then `lax.scan` threads the
+    `WarmStartDS` pytree with ``warm_start=True``. `qps` axes are
+    (..., T): time is the TRAILING axis in batch-last layout; each scan
+    step slices one instance as a batch of 1... for throughput prefer
+    `solve_batched_ds`; this exists for control-loop-faithful replay
+    semantics and latency measurement.
+    """
+    T = qps.batch
+
+    def index_t(tree: QPBatchDS, t) -> QPBatchDS:
+        return jax.tree.map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, t, 1, axis=a.ndim - 1),
+            tree,
+        )
+
+    qp0 = index_t(qps, 0)
+    sol0, ws = solve_batched_ds(qp0, shape, opts, warm_start=False)
+
+    @partial(jax.jit, static_argnames=())
+    def step(ws, t):
+        qp = index_t(qps, t)
+        sol, ws = solve_batched_ds(
+            qp, shape, opts, warm=ws, warm_start=True,
+            use_pallas=use_pallas,
+        )
+        return ws, sol
+
+    ws, sols = jax.lax.scan(step, ws, jnp.arange(1, T))
+    stacked = jax.tree.map(
+        lambda a0, arest: jnp.concatenate(
+            [a0[None] if a0.ndim + 1 == arest.ndim else a0, arest], axis=0
+        ),
+        sol0,
+        sols,
+    )
+    return stacked, ws

@@ -145,3 +145,47 @@ def replay_sharded(
         jax.tree.map(unpad, ws),
         summary,
     )
+
+
+def shard_batch_last_tree(tree, mesh: Mesh, axis_name: str = BATCH_AXIS):
+    """Shard the TRAILING axis of every leaf (the ds engine's batch-last
+    layout) across the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def place(a):
+        spec = PartitionSpec(*([None] * (a.ndim - 1) + [axis_name]))
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, tree)
+
+
+def solve_batched_ds_sharded(
+    qp,
+    shape: ProblemShape,
+    opts: FCCQPOptions = FCCQPOptions(),
+    warm=None,
+    warm_start: bool = False,
+    mesh: Optional[Mesh] = None,
+    use_pallas: bool = False,
+):
+    """Sharded ds-precision batched solve: the pod-scale performance
+    path. Batch (trailing axis) must divide the mesh size.
+
+    Returns (solution, warm, summary) like `solve_batched_sharded`.
+    """
+    from fcc_qp_tpu.core.ds_engine import solve_batched_ds
+
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    B = qp.batch
+    assert B % n_dev == 0, f"ds batch {B} must divide mesh size {n_dev}"
+
+    qp = shard_batch_last_tree(qp, mesh)
+    if warm is not None:
+        warm = shard_batch_last_tree(warm, mesh)
+
+    sol, ws = solve_batched_ds(
+        qp, shape, opts, warm=warm, warm_start=warm_start,
+        use_pallas=use_pallas,
+    )
+    return sol, ws, summarize(sol)

@@ -82,3 +82,57 @@ class TestDsEngine:
         opts = OPTS.replace(max_iter=1500, adaptive_rho=True)
         sol, _ = solve_batched_ds(bds, QUADRUPED.shape, opts)
         assert (np.asarray(sol.details.solve_status) == 0).mean() >= 0.75
+
+
+class TestDsReplayAndSharding:
+    def test_replay_ds_warm_start(self):
+        from fcc_qp_tpu.core.ds_engine import replay_ds, to_ds_batch
+
+        qps = generate_osc_sequence(CASSIE, 6, seed=0)
+        bds = to_ds_batch(stack_qp_dicts(qps))
+        opts = OPTS.replace(max_iter=1000, adaptive_rho=True)
+        sols, ws = replay_ds(bds, CASSIE.shape, opts)
+        n = np.asarray(sols.details.n_iter).ravel()
+        st = np.asarray(sols.details.solve_status).ravel()
+        assert (st == 0).all()
+        # warm steps converge faster than the cold step on this smooth log
+        assert np.median(n[1:]) < n[0]
+
+    def test_sharded_ds_equals_unsharded(self):
+        from fcc_qp_tpu.core.ds_engine import solve_batched_ds, to_ds_batch
+        from fcc_qp_tpu.models.osc import generate_osc_batch
+        from fcc_qp_tpu.parallel import make_mesh
+        from fcc_qp_tpu.parallel.sharded import solve_batched_ds_sharded
+
+        bds = to_ds_batch(
+            stack_qp_dicts(generate_osc_batch(CASSIE, 16, seed=0))
+        )
+        opts = OPTS.replace(max_iter=150, presolve="operator")
+        ref, _ = solve_batched_ds(bds, CASSIE.shape, opts)
+        sol, ws, summary = solve_batched_ds_sharded(
+            bds, CASSIE.shape, opts, mesh=make_mesh()
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref.z), np.asarray(sol.z), atol=1e-9
+        )
+        assert len(sol.z.sharding.device_set) == 8
+        assert int(summary.n_instances) == 16
+
+
+class TestPallasKernelInterpret:
+    def test_pallas_chunk_matches_xla(self):
+        from fcc_qp_tpu.core.ds_engine import solve_batched_ds, to_ds_batch
+        from fcc_qp_tpu.models.osc import generate_osc_batch
+
+        bds = to_ds_batch(
+            stack_qp_dicts(generate_osc_batch(CASSIE, 128, seed=0))
+        )
+        opts = OPTS.replace(max_iter=40, presolve="operator")
+        ref, _ = solve_batched_ds(bds, CASSIE.shape, opts)
+        got, _ = solve_batched_ds(
+            bds, CASSIE.shape, opts, use_pallas=True, pallas_interpret=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.details.n_iter), np.asarray(got.details.n_iter)
+        )
+        assert float(np.max(np.abs(np.asarray(ref.z) - np.asarray(got.z)))) < 1e-4
