@@ -28,17 +28,23 @@ def log(*a):
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--batch", type=int, default=512)
+    p.add_argument("--batch", type=int, default=4096)
     p.add_argument("--repeats", type=int, default=3)
-    p.add_argument("--max-iter", type=int, default=2000)
+    p.add_argument("--max-iter", type=int, default=3000)
     p.add_argument("--rho", type=float, default=0.05)
     p.add_argument("--eps", type=float, default=1e-6)
     p.add_argument("--engine", choices=["ds", "f64", "f32"], default="ds",
                    help="ds = double-single mixed precision (TPU-native); "
                         "f64/f32 = XLA-native dtypes")
     p.add_argument("--adaptive-rho", dest="adaptive", action="store_true",
-                   default=True)
+                   default=False)
     p.add_argument("--no-adaptive-rho", dest="adaptive", action="store_false")
+    p.add_argument("--no-scaling", dest="scaling", action="store_false",
+                   default=True, help="disable cone-aware Ruiz equilibration")
+    p.add_argument("--splitting", choices=["constrained", "full"],
+                   default="constrained")
+    p.add_argument("--no-pallas", dest="pallas", action="store_false",
+                   default=True, help="disable the fused Pallas ADMM kernel")
     p.add_argument("--scan-replay", action="store_true",
                    help="also run the sequential warm-started scan replay")
     p.add_argument("--timeout", type=float, default=1500.0,
@@ -117,12 +123,18 @@ def main():
         eps_fcone=args.eps, eps_bound=args.eps,
         adaptive_rho=args.adaptive, adaptive_rho_interval=100,
         adaptive_rho_max_adaptations=1, presolve="operator",
+        scaling=args.scaling, splitting=args.splitting,
+        kkt_refine_steps=1,
     )
+    use_pallas = args.pallas and args.engine == "ds" and args.batch % 128 == 0
 
     def run_solve(b):
         if args.engine == "ds":
-            return solve_batched_ds(b, shape, opts)
-        return solve_batched(b, shape, opts.replace(adaptive_rho=False))
+            return solve_batched_ds(b, shape, opts, use_pallas=use_pallas)
+        return solve_batched(
+            b, shape,
+            opts.replace(adaptive_rho=False, scaling=False, splitting="full"),
+        )
 
     from fcc_qp_tpu.utils.timing import sync
 

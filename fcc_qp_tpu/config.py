@@ -39,6 +39,18 @@ class FCCQPOptions:
       ADMM operator (x_const) as the guess — one factorization fewer
       per cold solve at the cost of a slightly longer ADMM trajectory.
       The equality-constrained fast path always uses the exact solve.
+    * ``scaling``: cone-aware Ruiz equilibration (`ops/scaling.py`).
+      Convergence tolerances remain in unscaled units. ds engine only.
+    * ``scaling_iters``: Ruiz sweeps.
+    * ``splitting``: "full" applies the ADMM splitting (and rho) to
+      every coordinate, as the reference does (`fcc_qp.cpp:62-64`);
+      "constrained" restricts it to finitely-bounded + cone
+      coordinates, shrinking the hot-loop operator from n x n to
+      k x k (k=22 vs n=60 for Cassie) with the identical fixed point.
+      ds engine only.
+    * ``kkt_refine_steps``: Newton-Schulz refinement steps on the ds
+      KKT inverse (0 disables; with scaling on, the equilibrated KKT
+      usually doesn't need refinement).
     """
 
     max_iter: int = 1000
@@ -53,6 +65,10 @@ class FCCQPOptions:
     rho_min: float = 1e-6
     rho_max: float = 1e6
     presolve: str = "exact"  # "exact" (reference parity) | "operator"
+    scaling: bool = False
+    scaling_iters: int = 8
+    splitting: str = "full"  # "full" (reference parity) | "constrained"
+    kkt_refine_steps: int = 1
 
     def __post_init__(self):
         if self.max_iter <= 0:
@@ -67,6 +83,12 @@ class FCCQPOptions:
             raise ValueError("adaptive_rho_tolerance must be >= 1")
         if self.presolve not in ("exact", "operator"):
             raise ValueError("presolve must be 'exact' or 'operator'")
+        if self.splitting not in ("full", "constrained"):
+            raise ValueError("splitting must be 'full' or 'constrained'")
+        if self.scaling_iters <= 0:
+            raise ValueError("scaling_iters must be > 0")
+        if self.kkt_refine_steps < 0:
+            raise ValueError("kkt_refine_steps must be >= 0")
 
     def replace(self, **kw) -> "FCCQPOptions":
         return dataclasses.replace(self, **kw)

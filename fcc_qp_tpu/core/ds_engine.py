@@ -32,6 +32,11 @@ from fcc_qp_tpu.ops.ds_linalg import (
     matvec_ds,
     transpose_ds,
 )
+from fcc_qp_tpu.ops.scaling import (
+    apply_scaling,
+    identity_scaling,
+    ruiz_scaling,
+)
 from fcc_qp_tpu.types import FCCQPDetails, FCCQPSolution, FCCQPSolveStatus
 
 
@@ -178,7 +183,7 @@ class _DsState(NamedTuple):
     done: Array
 
 
-def _factor(qp: QPBatchDS, rho: Array):
+def _factor(qp: QPBatchDS, rho: Array, refine_steps: int = 1):
     """Batched ds factorization -> (Fj, x_const) with Fj j-major so the
     per-iteration primal update is `x = x_const + rho * Fj @ v`.
 
@@ -187,12 +192,77 @@ def _factor(qp: QPBatchDS, rho: Array):
     paper's rank-deficiency discussion, `fccqp.pdf` p.6 SS5.2, is the
     same phenomenon); one NS step restores ~kappa(KKT)-level accuracy
     so the ADMM fixed point lands within the 1e-6 tolerance."""
-    F, G = kkt_inverse_blocks_refined_ds(qp.Q, qp.A_eq, rho, refine_steps=1)
+    F, G = kkt_inverse_blocks_refined_ds(
+        qp.Q, qp.A_eq, rho, refine_steps=refine_steps
+    )
     Fj = transpose_ds(F)
     Fb = matvec_ds(Fj, qp.b)                  # F b   (n, B)
     Gb = matvec_ds(transpose_ds(G), qp.b_eq)  # G b_eq (n, B)
     x_const = ds.sub(Gb, Fb)
     return Fj, x_const
+
+
+def _gather0(x: DS, idx: np.ndarray) -> DS:
+    return DS(x.hi[idx], x.lo[idx])
+
+
+def _factor_reduced(
+    qp: QPBatchDS, rho: Array, ci: np.ndarray, mask: np.ndarray,
+    refine_steps: int,
+):
+    """Partial-splitting factorization: KKT with rho only on the
+    constrained coordinates (`ci`), gathered for the reduced hot loop.
+
+    Returns (Fcc, xc_const, Fcolj, x_const):
+      Fcc    (k, k, B) — the hot-loop operator, j-major (F symmetric);
+      xc_const (k, B)  — constrained rows of the constant term;
+      Fcolj  (k, n, B) — constrained rows of F for final full-x
+                         recovery (j-major over k);
+      x_const (n, B).
+    """
+    B = qp.batch
+    rho_diag = rho[None, :] * jnp.asarray(mask, qp.Q.hi.dtype)[:, None]
+    F, G = kkt_inverse_blocks_refined_ds(
+        qp.Q, qp.A_eq, rho_diag, refine_steps=refine_steps
+    )
+    Fb = matvec_ds(transpose_ds(F), qp.b)
+    Gb = matvec_ds(transpose_ds(G), qp.b_eq)
+    x_const = ds.sub(Gb, Fb)
+    Fcolj = _gather0(F, ci)                    # rows ci: (k, n, B)
+    Fcc = DS(Fcolj.hi[:, ci], Fcolj.lo[:, ci])  # (k, k, B)
+    xc_const = _gather0(x_const, ci)
+    return Fcc, xc_const, Fcolj, x_const
+
+
+def constrained_indices(
+    qp: QPBatchDS, shape: ProblemShape, full: bool = False
+) -> tuple:
+    """Static coordinate ordering for the (reduced) ADMM splitting:
+    box-constrained coordinates first, the cone segment last (so the
+    reduced cone segment is the contiguous tail).
+
+    ``full=True`` keeps every coordinate (reference `rho*I` splitting,
+    `fcc_qp.cpp:62-64`, just permuted); otherwise only coordinates with
+    a finite bound in ANY batch instance participate — free coordinates
+    provably carry zero dual and identity projections, so excluding
+    them leaves the fixed point unchanged while shrinking the hot-loop
+    operator from n x n to k x k.
+    """
+    nv, nc, ls = shape.num_vars, shape.nc, shape.lambda_c_start
+    cone = tuple(range(ls, ls + nc))
+    if full:
+        non_cone = tuple(i for i in range(nv) if not (ls <= i < ls + nc))
+        return non_cone + cone
+    if isinstance(qp.lb.hi, jax.core.Tracer):
+        raise ValueError(
+            "constrained_indices needs concrete bounds; under jit pass "
+            "con_idx explicitly to solve_batched_ds"
+        )
+    lb = np.asarray(qp.lb.hi)
+    ub = np.asarray(qp.ub.hi)
+    finite = np.isfinite(lb).any(axis=-1) | np.isfinite(ub).any(axis=-1)
+    finite[ls : ls + nc] = False
+    return tuple(int(i) for i in np.where(finite)[0]) + cone
 
 
 def solve_batched_ds(
@@ -203,6 +273,7 @@ def solve_batched_ds(
     warm_start: bool = False,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    con_idx: Optional[tuple] = None,
 ):
     """ds-precision batched solve (host wrapper: jit the inner fn).
 
@@ -211,10 +282,27 @@ def solve_batched_ds(
     per-tile early exit. Requires batch % 128 == 0 and alpha == 1.0.
     ``pallas_interpret`` runs the kernel in interpreter mode (CPU
     testing).
+
+    With ``opts.scaling`` or ``opts.splitting == "constrained"`` the
+    solve runs on the equilibrated, reduced-subspace path; ``con_idx``
+    (static tuple from `constrained_indices`) may be passed explicitly
+    when calling under jit.
     """
     if use_pallas:
         assert opts.alpha == 1.0, "pallas path supports alpha=1.0 only"
         assert qp.batch % 128 == 0, "pallas path requires batch % 128 == 0"
+    reduced = opts.scaling or opts.splitting == "constrained" or (
+        con_idx is not None
+    )
+    if reduced:
+        if con_idx is None:
+            con_idx = constrained_indices(
+                qp, shape, full=opts.splitting == "full"
+            )
+        return _solve_ds_reduced_jit(
+            qp, warm, shape, opts, warm_start, con_idx,
+            use_pallas, pallas_interpret,
+        )
     return _solve_batched_ds_jit(
         qp, warm, shape, opts, warm_start, use_pallas, pallas_interpret
     )
@@ -274,7 +362,7 @@ def _solve_batched_ds_jit(
     else:
         eq_c = jnp.zeros((B,), jnp.bool_)
 
-    Fj0, x_const0 = _factor(qp, rho0)
+    Fj0, x_const0 = _factor(qp, rho0, opts.kkt_refine_steps)
     if x_init is None:
         # "operator" presolve: the rho-regularized equality-QP solution
         # (the v=0 primal update) as cold-start guess — saves the
@@ -382,7 +470,7 @@ def _solve_batched_ds_jit(
         mu_lam = ds.mul_f32(st.mu_lam, scale[None, :]) if nc else st.mu_lam
 
         def refactor(_):
-            Fj, x_const = _factor(qp, new_rho)
+            Fj, x_const = _factor(qp, new_rho, opts.kkt_refine_steps)
             return Fj, x_const, st.n_refactor + 1
 
         Fj, x_const, n_refactor = jax.lax.cond(
@@ -406,11 +494,15 @@ def _solve_batched_ds_jit(
     def chunk_body_pallas(st: _DsState) -> _DsState:
         from fcc_qp_tpu.ops.pallas_admm import admm_chunk_pallas
 
-        (x, x_bar, lam_bar, mu_x, mu_lam, done, n_iter,
+        v_in = ds.sub(
+            _set_seg(st.x_bar, st.lam_bar, ls, nc),
+            _set_seg(st.mu_x, st.mu_lam, ls, nc),
+        )
+        (x, x_bar, lam_bar, mu_x, mu_lam, _v, done, n_iter,
          xrn, lrn, prim, dual) = admm_chunk_pallas(
             st.Fj, st.x_const, qp.lb, qp.ub, qp.friction_coeffs,
             st.rho, eps_bound, eps_fcone,
-            st.x, st.x_bar, st.lam_bar, st.mu_x, st.mu_lam,
+            st.x, st.x_bar, st.lam_bar, st.mu_x, st.mu_lam, v_in,
             st.done, st.n_iter, st.it,
             shape=shape, K=K, max_iter=opts.max_iter,
             interpret=pallas_interpret,
@@ -478,6 +570,402 @@ def _solve_batched_ds_jit(
     return sol, new_warm
 
 
+class _RState(NamedTuple):
+    it: Array
+    next_adapt: Array
+    n_refactor: Array
+    xc: DS              # (k, B) primal, constrained coords
+    s: DS               # (k, B) slack (box part + cone tail)
+    mu: DS              # (k, B) scaled duals
+    v: DS               # (k, B) the s-mu that PRODUCED xc (for exact
+                        #        full-x recovery of the accepted iterate)
+    rho: Array          # (B,) f32 (scaled-space)
+    Fcc: DS             # (k, k, B) hot-loop operator
+    xc_const: DS        # (k, B)
+    Fcolj: DS           # (k, n, B) for final full-x recovery
+    x_const: DS         # (n, B)
+    x_res_norm: Array
+    lam_res_norm: Array
+    prim_norm: Array
+    dual_norm: Array
+    n_iter: Array
+    done: Array
+
+
+def _seg_tail(v: DS, kb: int) -> DS:
+    return DS(v.hi[kb:], v.lo[kb:])
+
+
+def _concat0(a: DS, b: DS) -> DS:
+    return DS(
+        jnp.concatenate([a.hi, b.hi], axis=0),
+        jnp.concatenate([a.lo, b.lo], axis=0),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "shape", "opts", "warm_start", "con_idx", "use_pallas",
+        "pallas_interpret",
+    ),
+)
+def _solve_ds_reduced_jit(
+    qp, warm, shape, opts, warm_start, con_idx,
+    use_pallas=False, pallas_interpret=False,
+):
+    """Equilibrated, reduced-subspace ds ADMM.
+
+    Same fixed point as the reference algorithm
+    (`/root/reference/src/fcc_qp.cpp:57-112`) but (a) the problem is
+    cone-aware Ruiz-equilibrated (`ops/scaling.py`) with convergence
+    still checked in UNSCALED units, and (b) the splitting runs only
+    over `con_idx` — finitely-bounded + cone coordinates — so each
+    iteration is one (k x k) ds mat-vec instead of (n x n).
+    """
+    nv, nc, ls = shape.num_vars, shape.nc, shape.lambda_c_start
+    B = qp.batch
+    f32 = qp.Q.hi.dtype
+    ci = np.asarray(con_idx, dtype=np.int64)
+    k = len(con_idx)
+    kb = k - nc
+    assert tuple(con_idx[kb:]) == tuple(range(ls, ls + nc)), (
+        "con_idx must end with the contiguous cone segment"
+    )
+    mask = np.zeros((nv,), np.float32)
+    mask[ci] = 1.0
+    alpha = jnp.asarray(opts.alpha, f32)
+    use_alpha = opts.alpha != 1.0
+    eps_fcone = jnp.asarray(opts.eps_fcone, f32)
+    eps_bound = jnp.asarray(opts.eps_bound, f32)
+    zeros_b = jnp.zeros((B,), f32)
+
+    # --- scaling ---
+    if opts.scaling:
+        sc = ruiz_scaling(
+            qp.Q.hi, qp.A_eq.hi, qp.b.hi, shape, iters=opts.scaling_iters
+        )
+        qps = apply_scaling(qp, sc, shape)
+    else:
+        sc = identity_scaling(nv, qp.A_eq.hi.shape[0], B, f32)
+        qps = qp
+    d = sc.d                       # (n, B): unscaled x = d * x~
+    inv_d = 1.0 / d
+    wk = d[ci]                     # (k, B) residual weights -> unscaled
+    wl = wk[kb:]                   # (nc, B)
+    lbc = _gather0(qps.lb, ci[:kb])
+    ubc = _gather0(qps.ub, ci[:kb])
+    mu_eff = qps.friction_coeffs
+
+    # --- pure-equality batch (no constrained coords at all) ---
+    if k == 0:
+        x_s = kkt_solve_refined_ds(qps.Q, qps.A_eq, ds.neg(qps.b), qps.b_eq)
+        x = ds.mul_f32(x_s, d)
+        z = jnp.swapaxes(ds.to_f64(x), 0, 1)
+        details = FCCQPDetails(
+            n_iter=jnp.zeros((B,), jnp.int32),
+            admm_residual_bounds=zeros_b,
+            admm_residual_friction_cone=zeros_b,
+            solve_time=zeros_b,
+            factorization_time=zeros_b,
+            bounds_viol=zeros_b,
+            friction_cone_viol=zeros_b,
+            solve_status=jnp.zeros((B,), jnp.int32),
+        )
+        new_warm = WarmStartDS(
+            x=x, mu_x=ds.zeros((nv, B), f32), mu_lambda_c=ds.zeros((0, B), f32),
+            rho=jnp.full((B,), opts.rho, f32),
+        )
+        return FCCQPSolution(details=details, z=z), new_warm
+
+    K = opts.adaptive_rho_interval if opts.adaptive_rho else opts.max_iter
+    n_chunks = -(-opts.max_iter // K)
+
+    # --- initial state (warm: unscaled full-space pytree -> scaled
+    # reduced coords; cold: operator/exact presolve) ---
+    if warm is None:
+        warm = WarmStartDS(
+            x=ds.zeros((nv, B), f32),
+            mu_x=ds.zeros((nv, B), f32),
+            mu_lambda_c=ds.zeros((nc, B), f32),
+            rho=jnp.full((B,), opts.rho, f32),
+        )
+
+    if warm_start:
+        rho0 = warm.rho
+        x_init = ds.mul_f32(warm.x, inv_d)      # scale into x~ space
+        mu_box = ds.mul_f32(_gather0(warm.mu_x, ci[:kb]), inv_d[ci[:kb]])
+        mu_cone = ds.mul_f32(warm.mu_lambda_c, inv_d[ls:ls + nc]) if nc \
+            else ds.zeros((0, B), f32)
+        mu0 = _concat0(mu_box, mu_cone)
+    else:
+        rho0 = jnp.full((B,), opts.rho, f32)
+        mu0 = ds.zeros((k, B), f32)
+        if opts.presolve == "exact":
+            x_init = kkt_solve_refined_ds(
+                qps.Q, qps.A_eq, ds.neg(qps.b), qps.b_eq
+            )
+        else:
+            x_init = None  # operator presolve: x_const after factorization
+
+    # equality-constrained fast path (nc == 0, all-infinite bounds)
+    if nc == 0:
+        eq_c = jnp.all(jnp.isinf(qp.lb.hi), axis=0) & jnp.all(
+            jnp.isinf(qp.ub.hi), axis=0
+        )
+    else:
+        eq_c = jnp.zeros((B,), jnp.bool_)
+
+    Fcc0, xc_const0, Fcolj0, x_const0 = _factor_reduced(
+        qps, rho0, ci, mask, opts.kkt_refine_steps
+    )
+    if x_init is None:
+        x_init = x_const0
+
+    xc0 = _gather0(x_init, ci)
+    init = _RState(
+        it=jnp.int32(0),
+        next_adapt=jnp.int32(K),
+        n_refactor=jnp.int32(0),
+        xc=xc0,
+        s=xc0,
+        mu=mu0,
+        v=ds.sub(xc0, mu0),
+        rho=rho0,
+        Fcc=Fcc0,
+        xc_const=xc_const0,
+        Fcolj=Fcolj0,
+        x_const=x_const0,
+        x_res_norm=zeros_b,
+        lam_res_norm=zeros_b,
+        prim_norm=zeros_b,
+        dual_norm=zeros_b,
+        n_iter=jnp.full((B,), opts.max_iter, jnp.int32),
+        done=jnp.zeros((B,), jnp.bool_),
+    )
+
+    def iteration(st: _RState) -> _RState:
+        s_prev = st.s
+        v = ds.sub(s_prev, st.mu)
+        y = matvec_ds(st.Fcc, v)
+        xc = ds.add(st.xc_const, ds.mul_f32(y, st.rho[None, :]))
+
+        if use_alpha:
+            x_hat = ds.add(
+                ds.mul_f32(xc, alpha), ds.mul_f32(s_prev, 1.0 - alpha)
+            )
+        else:
+            x_hat = xc
+
+        t = ds.add(x_hat, st.mu)
+        parts = []
+        if kb:
+            parts.append(ds.clip(DS(t.hi[:kb], t.lo[:kb]), lbc, ubc))
+        if nc:
+            parts.append(project_cone_ds(_seg_tail(t, kb), mu_eff))
+        s = parts[0] if len(parts) == 1 else _concat0(parts[0], parts[1])
+
+        res = ds.sub(xc, s)
+        mu = ds.add(st.mu, ds.sub(x_hat, s))
+
+        wres = jnp.abs(res.hi) * wk
+        x_res_norm = jnp.max(wres[:kb], axis=0) if kb else zeros_b
+        lam_res_norm = jnp.max(wres[kb:], axis=0) if nc else zeros_b
+
+        dprim = res.hi * wk
+        dchange = ds.sub(s, s_prev).hi * wk
+        prim_norm = jnp.sqrt(jnp.sum(dprim * dprim, axis=0))
+        dual_norm = st.rho * jnp.sqrt(jnp.sum(dchange * dchange, axis=0))
+
+        conv = (lam_res_norm < eps_fcone) & (x_res_norm < eps_bound)
+        active = ~st.done & (st.it < opts.max_iter)
+        n_iter = jnp.where(conv & active, st.it, st.n_iter)
+
+        def commit_ds(new: DS, old: DS) -> DS:
+            return ds.where(active[None, :], new, old)
+
+        def commit(new, old):
+            return jnp.where(active, new, old)
+
+        return st._replace(
+            it=st.it + 1,
+            xc=commit_ds(xc, st.xc),
+            s=commit_ds(s, st.s),
+            mu=commit_ds(mu, st.mu),
+            v=commit_ds(v, st.v),
+            x_res_norm=commit(x_res_norm, st.x_res_norm),
+            lam_res_norm=commit(lam_res_norm, st.lam_res_norm),
+            prim_norm=commit(prim_norm, st.prim_norm),
+            dual_norm=commit(dual_norm, st.dual_norm),
+            n_iter=n_iter,
+            done=st.done | conv,
+        )
+
+    def adapt(st: _RState) -> _RState:
+        due = (st.it >= st.next_adapt) & (
+            st.n_refactor < opts.adaptive_rho_max_adaptations
+        )
+        tol = opts.adaptive_rho_tolerance
+        safe = due & (st.prim_norm > 1e-30) & (st.dual_norm > 1e-30) & ~st.done
+        ratio = jnp.sqrt(st.prim_norm / jnp.maximum(st.dual_norm, 1e-30))
+        trigger = safe & ((ratio > tol) | (ratio < 1.0 / tol))
+        new_rho = jnp.where(
+            trigger,
+            jnp.clip(st.rho * ratio, opts.rho_min, opts.rho_max),
+            st.rho,
+        )
+        changed_mask = new_rho != st.rho
+        changed = jnp.any(changed_mask)
+
+        scale = jnp.where(changed_mask, st.rho / new_rho, 1.0)
+        mu = ds.mul_f32(st.mu, scale[None, :])
+
+        def refactor(_):
+            Fcc, xc_const, Fcolj, x_const = _factor_reduced(
+                qps, new_rho, ci, mask, opts.kkt_refine_steps
+            )
+            return Fcc, xc_const, Fcolj, x_const, st.n_refactor + 1
+
+        Fcc, xc_const, Fcolj, x_const, n_refactor = jax.lax.cond(
+            changed,
+            refactor,
+            lambda _: (
+                st.Fcc, st.xc_const, st.Fcolj, st.x_const, st.n_refactor
+            ),
+            operand=None,
+        )
+        next_adapt = jnp.where(due, 2 * st.next_adapt, st.next_adapt)
+        return st._replace(
+            rho=new_rho, Fcc=Fcc, xc_const=xc_const, Fcolj=Fcolj,
+            x_const=x_const, mu=mu, next_adapt=next_adapt,
+            n_refactor=n_refactor,
+        )
+
+    def chunk_body_xla(st: _RState) -> _RState:
+        st = jax.lax.fori_loop(0, K, lambda _, s_: iteration(s_), st)
+        if opts.adaptive_rho:
+            st = adapt(st)
+        return st
+
+    def chunk_body_pallas(st: _RState) -> _RState:
+        from fcc_qp_tpu.ops.pallas_admm import admm_chunk_pallas
+
+        rshape = ProblemShape(
+            num_vars=k, num_eq=0, nc=nc, lambda_c_start=kb
+        )
+        inf = jnp.full((nc, B), jnp.inf, f32)
+        lb_k = DS(
+            jnp.concatenate([lbc.hi, -inf], axis=0),
+            jnp.concatenate([lbc.lo, jnp.zeros((nc, B), f32)], axis=0),
+        ) if nc else lbc
+        ub_k = DS(
+            jnp.concatenate([ubc.hi, inf], axis=0),
+            jnp.concatenate([ubc.lo, jnp.zeros((nc, B), f32)], axis=0),
+        ) if nc else ubc
+        # kernel keeps split box/cone duals: box dual = mu with the cone
+        # tail zeroed (stays zero: inf bounds give zero residual there)
+        mu_x_in = DS(
+            jnp.concatenate(
+                [st.mu.hi[:kb], jnp.zeros((nc, B), f32)], axis=0
+            ),
+            jnp.concatenate(
+                [st.mu.lo[:kb], jnp.zeros((nc, B), f32)], axis=0
+            ),
+        ) if nc else st.mu
+        mu_lam_in = _seg_tail(st.mu, kb)
+        lam_bar_in = _seg_tail(st.s, kb)
+
+        (x, x_bar, lam_bar, mu_x, mu_lam, v_out, done, n_iter,
+         xrn, lrn, prim, dual) = admm_chunk_pallas(
+            st.Fcc, st.xc_const, lb_k, ub_k, mu_eff,
+            st.rho, eps_bound, eps_fcone,
+            st.xc, st.s, lam_bar_in, mu_x_in, mu_lam_in, st.v,
+            st.done, st.n_iter, st.it,
+            shape=rshape, K=K, max_iter=opts.max_iter,
+            interpret=pallas_interpret,
+            weights=wk, cone_weights=wl,
+        )
+        s_new = _set_seg(x_bar, lam_bar, kb, nc)
+        mu_new = _set_seg(mu_x, mu_lam, kb, nc)
+        st = st._replace(
+            it=st.it + K,
+            xc=x, s=s_new, mu=mu_new, v=v_out,
+            x_res_norm=xrn, lam_res_norm=lrn, prim_norm=prim,
+            dual_norm=dual, n_iter=n_iter, done=done,
+        )
+        if opts.adaptive_rho:
+            st = adapt(st)
+        return st
+
+    chunk_body = chunk_body_pallas if use_pallas else chunk_body_xla
+
+    def chunk_cond(st: _RState):
+        return (st.it < n_chunks * K) & ~jnp.all(st.done)
+
+    st = jax.lax.while_loop(chunk_cond, chunk_body, init)
+
+    # final full-space primal: re-evaluate the primal update at the v
+    # that PRODUCED the accepted xc (a post-update s-mu would take one
+    # extra half-step, which at a transient residual dip jumps off the
+    # accepted, feasible iterate); one (k -> n) mat-vec, then unscale
+    x_s = ds.add(
+        st.x_const, ds.mul_f32(matvec_ds(st.Fcolj, st.v), st.rho[None, :])
+    )
+    x = ds.mul_f32(x_s, d)
+
+    if nc == 0:
+        x_eq = ds.mul_f32(
+            kkt_solve_refined_ds(qps.Q, qps.A_eq, ds.neg(qps.b), qps.b_eq), d
+        )
+        x = ds.where(eq_c[None, :], x_eq, x)
+    n_iter = jnp.where(eq_c, 0, st.n_iter)
+    xrn = jnp.where(eq_c, zeros_b, st.x_res_norm)
+    lrn = jnp.where(eq_c, zeros_b, st.lam_res_norm)
+
+    # violations in UNSCALED units against the original data
+    xh = x.hi
+    bdiff = xh - jnp.clip(xh, qp.lb.hi, qp.ub.hi)
+    bounds_viol = jnp.sqrt(jnp.sum(bdiff * bdiff, axis=0))
+    if nc:
+        lam = jax.lax.slice_in_dim(xh, ls, ls + nc, axis=0)
+        f3 = lam.reshape(nc // 3, 3, B)
+        nxy = jnp.sqrt(f3[:, 0] ** 2 + f3[:, 1] ** 2)
+        fcone_viol = jnp.sum(
+            jnp.maximum(0.0, nxy - qp.friction_coeffs.hi * f3[:, 2]), axis=0
+        )
+    else:
+        fcone_viol = zeros_b
+
+    z = jnp.swapaxes(ds.to_f64(x), 0, 1)
+    details = FCCQPDetails(
+        n_iter=n_iter,
+        admm_residual_bounds=xrn,
+        admm_residual_friction_cone=lrn,
+        solve_time=zeros_b,
+        factorization_time=zeros_b,
+        bounds_viol=bounds_viol,
+        friction_cone_viol=fcone_viol,
+        solve_status=jnp.where(
+            n_iter == opts.max_iter,
+            jnp.int32(FCCQPSolveStatus.kMaxIterations),
+            jnp.int32(FCCQPSolveStatus.kSuccess),
+        ),
+    )
+
+    # warm-start pytree: full-space, UNSCALED (portable across solves
+    # whose Ruiz factors differ)
+    mu_u = ds.mul_f32(st.mu, wk)  # back to unscaled units
+    mu_x_hi = jnp.zeros((nv, B), f32).at[ci[:kb]].set(mu_u.hi[:kb])
+    mu_x_lo = jnp.zeros((nv, B), f32).at[ci[:kb]].set(mu_u.lo[:kb])
+    new_warm = WarmStartDS(
+        x=x,
+        mu_x=DS(mu_x_hi, mu_x_lo),
+        mu_lambda_c=_seg_tail(mu_u, kb) if nc else ds.zeros((0, B), f32),
+        rho=st.rho,
+    )
+    return FCCQPSolution(details=details, z=z), new_warm
+
+
 def replay_ds(
     qps: QPBatchDS,
     shape: ProblemShape,
@@ -496,6 +984,13 @@ def replay_ds(
     """
     T = qps.batch
 
+    reduced = opts.scaling or opts.splitting == "constrained"
+    con_idx = (
+        constrained_indices(qps, shape, full=opts.splitting == "full")
+        if reduced
+        else None
+    )
+
     def index_t(tree: QPBatchDS, t) -> QPBatchDS:
         return jax.tree.map(
             lambda a: jax.lax.dynamic_slice_in_dim(a, t, 1, axis=a.ndim - 1),
@@ -503,14 +998,16 @@ def replay_ds(
         )
 
     qp0 = index_t(qps, 0)
-    sol0, ws = solve_batched_ds(qp0, shape, opts, warm_start=False)
+    sol0, ws = solve_batched_ds(
+        qp0, shape, opts, warm_start=False, con_idx=con_idx
+    )
 
     @partial(jax.jit, static_argnames=())
     def step(ws, t):
         qp = index_t(qps, t)
         sol, ws = solve_batched_ds(
             qp, shape, opts, warm=ws, warm_start=True,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, con_idx=con_idx,
         )
         return ws, sol
 

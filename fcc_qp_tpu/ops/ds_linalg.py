@@ -233,12 +233,24 @@ def chol_regularized_ds(H: DS, delta_levels=(0.0, 1e-6, 1e-4, 1e-2)) -> DS:
     return L
 
 
+def _rho_diag_mat(rho: Array, n: int, dtype) -> Array:
+    """Embed the ADMM penalty as a (n, n, B) diagonal.
+
+    rho may be (B,) — uniform rho*I, the reference form
+    (`fcc_qp.cpp:62-64`) — or (n, B), a per-coordinate diagonal (partial
+    splitting: rho only on the constrained coordinates)."""
+    eye = jnp.eye(n, dtype=dtype)[:, :, None]
+    if rho.ndim == 1:
+        return rho[None, None, :] * eye
+    return eye * rho[:, None, :]
+
+
 def schur_kkt_factor_ds(Q: DS, A: DS, rho: Array):
     """ds Schur-complement KKT factorization (math of
     `ops.kkt.kkt_factor_blocks`): returns inverse blocks ``(F, G)`` with
     F = M^{-1}[:n,:n], G = M^{-1}[:n,n:].
 
-    Q: (n, n, B) ds;  A: (m, n, B) ds;  rho: (B,) f32.
+    Q: (n, n, B) ds;  A: (m, n, B) ds;  rho: (B,) or (n, B) f32.
     Returns F: (n, n, B), G: (n, m, B).
     """
     n, _, B = Q.hi.shape
@@ -246,7 +258,7 @@ def schur_kkt_factor_ds(Q: DS, A: DS, rho: Array):
     f32 = Q.hi.dtype
 
     eye = jnp.eye(n, dtype=f32)[:, :, None]
-    H = ds.add(Q, DS(rho[None, None, :] * eye, jnp.zeros_like(Q.hi)))
+    H = ds.add(Q, DS(_rho_diag_mat(rho, n, f32), jnp.zeros_like(Q.hi)))
     L = chol_regularized_ds(H)
 
     At = transpose_ds(A)  # (n, m, B)
@@ -312,13 +324,12 @@ def kkt_solve_ds(Q: DS, A: DS, rho: Array, r: DS, s: DS) -> DS:
 
 
 def assemble_kkt_ds(Q: DS, A: DS, rho: Array) -> DS:
-    """Assemble the full KKT matrix [[Q+rho I, A'],[A, 0]] in ds,
-    batch-last: (n+m, n+m, B)."""
+    """Assemble the full KKT matrix [[Q+diag(rho), A'],[A, 0]] in ds,
+    batch-last: (n+m, n+m, B). rho (B,) uniform or (n, B) diagonal."""
     n, _, B = Q.hi.shape
     m = A.hi.shape[0]
     f32 = Q.hi.dtype
-    eye = jnp.eye(n, dtype=f32)[:, :, None]
-    H = ds.add(Q, DS(rho[None, None, :] * eye, jnp.zeros_like(Q.hi)))
+    H = ds.add(Q, DS(_rho_diag_mat(rho, n, f32), jnp.zeros_like(Q.hi)))
     At = transpose_ds(A)
     top_hi = jnp.concatenate([H.hi, At.hi], axis=1)
     top_lo = jnp.concatenate([H.lo, At.lo], axis=1)
@@ -358,14 +369,14 @@ def kkt_inverse_blocks_refined_ds(
 
     Returns (F, G) like `schur_kkt_factor_ds`, but accurate to
     ~kappa(KKT)^2 * eps_ds^2 after one refinement step instead of
-    ~kappa(S) * eps_ds.
+    ~kappa(S) * eps_ds. rho (B,) uniform or (n, B) per-coordinate.
     """
     n, _, B = Q.hi.shape
     m = A.hi.shape[0]
     f32 = Q.hi.dtype
 
     eye = jnp.eye(n, dtype=f32)[:, :, None]
-    H = ds.add(Q, DS(rho[None, None, :] * eye, jnp.zeros_like(Q.hi)))
+    H = ds.add(Q, DS(_rho_diag_mat(rho, n, f32), jnp.zeros_like(Q.hi)))
     L = chol_regularized_ds(H)
     At = transpose_ds(A)
     rhs = DS(

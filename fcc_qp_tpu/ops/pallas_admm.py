@@ -40,13 +40,14 @@ TILE = 128  # instances per grid cell = TPU lane width
 def _kernel(
     # refs (all VMEM): ds pairs are separate hi/lo refs
     Fj_hi, Fj_lo, xc_hi, xc_lo, lb_hi, lb_lo, ub_hi, ub_lo,
-    mu_f_hi, mu_f_lo, rho_ref, eps_ref,
+    mu_f_hi, mu_f_lo, wx_ref, wl_ref, rho_ref, eps_ref,
     x_hi, x_lo, xb_hi, xb_lo, lbar_hi, lbar_lo,
     mux_hi, mux_lo, mul_hi, mul_lo,
     done_ref, n_iter_ref, it0_ref,
+    v_hi, v_lo,
     # outputs
     ox_hi, ox_lo, oxb_hi, oxb_lo, olbar_hi, olbar_lo,
-    omux_hi, omux_lo, omul_hi, omul_lo,
+    omux_hi, omux_lo, omul_hi, omul_lo, ov_hi, ov_lo,
     odone, on_iter, oxrn, olrn, oprim, odual,
     *, nv, nc, ls, K, max_iter,
 ):
@@ -58,6 +59,8 @@ def _kernel(
     lb = DS(lb_hi[:], lb_lo[:])
     ub = DS(ub_hi[:], ub_lo[:])
     mu_f = DS(mu_f_hi[:], mu_f_lo[:]) if nc else None
+    wx = wx_ref[:]            # (nv, TILE) residual weights (unscaling)
+    wl = wl_ref[:]            # (nc|1, TILE)
     rho = rho_ref[:]          # (1, TILE)
     eps_bound = eps_ref[0, 0]
     eps_fcone = eps_ref[0, 1]
@@ -123,6 +126,7 @@ def _kernel(
         lam_bar: DS
         mu_x: DS
         mu_lam: DS
+        v: DS  # the s-mu that produced x (accepted-iterate recovery)
         xrn: jnp.ndarray
         lrn: jnp.ndarray
         prim: jnp.ndarray
@@ -137,6 +141,7 @@ def _kernel(
         lam_bar=DS(lbar_hi[:], lbar_lo[:]),
         mu_x=DS(mux_hi[:], mux_lo[:]),
         mu_lam=DS(mul_hi[:], mul_lo[:]),
+        v=DS(v_hi[:], v_lo[:]),
         xrn=jnp.zeros((1, TILE), f32),
         lrn=jnp.zeros((1, TILE), f32),
         prim=jnp.zeros((1, TILE), f32),
@@ -167,9 +172,9 @@ def _kernel(
         s_now = set_seg(x_bar, lam_bar)
         x_res = ds.sub(x, x_bar)
         lam_res = ds.sub(seg(x), lam_bar) if nc else None
-        xrn = jnp.max(jnp.abs(x_res.hi), axis=0, keepdims=True)
+        xrn = jnp.max(jnp.abs(x_res.hi) * wx, axis=0, keepdims=True)
         lrn = (
-            jnp.max(jnp.abs(lam_res.hi), axis=0, keepdims=True)
+            jnp.max(jnp.abs(lam_res.hi) * wl, axis=0, keepdims=True)
             if nc
             else jnp.zeros((1, TILE), f32)
         )
@@ -179,8 +184,8 @@ def _kernel(
             ds.add(c.mu_lam, lam_res) if nc else c.mu_lam
         )
 
-        dprim = ds.sub(x, s_now).hi
-        dchange = ds.sub(s_now, s_prev).hi
+        dprim = ds.sub(x, s_now).hi * wx
+        dchange = ds.sub(s_now, s_prev).hi * wx
         prim = jnp.sqrt(jnp.sum(dprim * dprim, axis=0, keepdims=True))
         dual = rho * jnp.sqrt(jnp.sum(dchange * dchange, axis=0, keepdims=True))
 
@@ -202,6 +207,7 @@ def _kernel(
             lam_bar=commit_ds(lam_bar, c.lam_bar) if nc else c.lam_bar,
             mu_x=commit_ds(mu_x, c.mu_x),
             mu_lam=commit_ds(mu_lam, c.mu_lam) if nc else c.mu_lam,
+            v=commit_ds(v, c.v),
             xrn=commit(xrn, c.xrn),
             lrn=commit(lrn, c.lrn),
             prim=commit(prim, c.prim),
@@ -217,6 +223,7 @@ def _kernel(
     olbar_hi[:], olbar_lo[:] = out.lam_bar.hi, out.lam_bar.lo
     omux_hi[:], omux_lo[:] = out.mu_x.hi, out.mu_x.lo
     omul_hi[:], omul_lo[:] = out.mu_lam.hi, out.mu_lam.lo
+    ov_hi[:], ov_lo[:] = out.v.hi, out.v.lo
     odone[:] = out.done
     on_iter[:] = out.n_iter
     oxrn[:] = out.xrn
@@ -247,6 +254,7 @@ def admm_chunk_pallas(
     lam_bar: DS,
     mu_x: DS,
     mu_lam: DS,
+    v: DS,
     done,
     n_iter,
     it0,
@@ -254,17 +262,28 @@ def admm_chunk_pallas(
     K: int,
     max_iter: int,
     interpret: bool = False,
+    weights=None,
+    cone_weights=None,
 ):
     """Run up to K fused ADMM iterations per batch tile.
 
     All arrays batch-last with B a multiple of 128 (caller pads).
     Returns the updated state plus per-instance residual norms.
+
+    ``weights`` (nv, B) / ``cone_weights`` (nc, B): multiplied into the
+    residuals before the inf-norms so convergence is checked in
+    unscaled units when the problem is Ruiz-equilibrated
+    (`ops/scaling.py`); default all-ones.
     """
     nv, nc, ls = shape.num_vars, shape.nc, shape.lambda_c_start
     B = x.hi.shape[-1]
     assert B % TILE == 0, f"batch {B} must be a multiple of {TILE}"
     grid = (B // TILE,)
     f32 = jnp.float32
+    if weights is None:
+        weights = jnp.ones((nv, B), f32)
+    if cone_weights is None or nc == 0:
+        cone_weights = jnp.ones((max(nc, 1), B), f32)
 
     mat = _dup((nv, nv, TILE), lambda i: (0, 0, i))
     vec = _dup((nv, TILE), lambda i: (0, i))
@@ -295,6 +314,8 @@ def admm_chunk_pallas(
         jax.ShapeDtypeStruct((nv, B), f32),
         jax.ShapeDtypeStruct((max(nc, 1), B), f32),  # mu_lam
         jax.ShapeDtypeStruct((max(nc, 1), B), f32),
+        jax.ShapeDtypeStruct((nv, B), f32),  # v
+        jax.ShapeDtypeStruct((nv, B), f32),
         jax.ShapeDtypeStruct((1, B), jnp.int32),  # done
         jax.ShapeDtypeStruct((1, B), jnp.int32),  # n_iter
         jax.ShapeDtypeStruct((1, B), f32),  # xrn
@@ -303,7 +324,7 @@ def admm_chunk_pallas(
         jax.ShapeDtypeStruct((1, B), f32),  # dual
     )
     out_specs = (
-        vec, vec, vec, vec, cvec, cvec, vec, vec, cvec, cvec,
+        vec, vec, vec, vec, cvec, cvec, vec, vec, cvec, cvec, vec, vec,
         one, one, one, one, one, one,
     )
 
@@ -315,9 +336,10 @@ def admm_chunk_pallas(
         kernel,
         grid=grid,
         in_specs=[
-            mat, mat, vec, vec, vec, vec, vec, vec, cone, cone, one, smem2,
+            mat, mat, vec, vec, vec, vec, vec, vec, cone, cone,
+            vec, cvec, one, smem2,
             vec, vec, vec, vec, cvec, cvec, vec, vec, cvec, cvec,
-            one, one, smem1,
+            one, one, smem1, vec, vec,
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
@@ -326,14 +348,15 @@ def admm_chunk_pallas(
         Fj.hi, Fj.lo, x_const.hi, x_const.lo, lb.hi, lb.lo, ub.hi, ub.lo,
         pad_c(mu_f.hi) if nc == 0 else mu_f.hi,
         pad_c(mu_f.lo) if nc == 0 else mu_f.lo,
+        weights, cone_weights,
         rho2, eps,
         x.hi, x.lo, x_bar.hi, x_bar.lo,
         pad_c(lam_bar.hi), pad_c(lam_bar.lo),
         mu_x.hi, mu_x.lo, pad_c(mu_lam.hi), pad_c(mu_lam.lo),
-        done2, n_iter2, it0a,
+        done2, n_iter2, it0a, v.hi, v.lo,
     )
 
-    (oxh, oxl, oxbh, oxbl, olbh, olbl, omxh, omxl, omlh, omll,
+    (oxh, oxl, oxbh, oxbl, olbh, olbl, omxh, omxl, omlh, omll, ovh, ovl,
      odone, on_iter, oxrn, olrn, oprim, odual) = res
 
     def unpad_c(h, l):
@@ -347,6 +370,7 @@ def admm_chunk_pallas(
         unpad_c(olbh, olbl),
         DS(omxh, omxl),
         unpad_c(omlh, omll),
+        DS(ovh, ovl),
         odone[0] > 0,
         on_iter[0],
         oxrn[0],

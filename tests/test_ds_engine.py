@@ -84,19 +84,97 @@ class TestDsEngine:
         assert (np.asarray(sol.details.solve_status) == 0).mean() >= 0.75
 
 
+FAST_OPTS = FCCQPOptions(
+    max_iter=2000, rho=0.05, eps_fcone=1e-6, eps_bound=1e-6,
+    scaling=True, splitting="constrained", presolve="operator",
+)
+
+
+class TestReducedScaledEngine:
+    """The performance path: Ruiz equilibration + constrained-subspace
+    splitting (`ops/scaling.py`, `_solve_ds_reduced_jit`)."""
+
+    def test_matches_legacy_engine_solution(self, cassie_data):
+        stacked, _, bds = cassie_data
+        ref, _ = solve_batched_ds(
+            bds, CASSIE.shape, OPTS.replace(max_iter=2000, adaptive_rho=True)
+        )
+        got, _ = solve_batched_ds(bds, CASSIE.shape, FAST_OPTS)
+        assert (np.asarray(got.details.solve_status) == 0).all()
+        # different trajectories to the same fixed point: solutions agree
+        # to tolerance-limited accuracy (near-degenerate instances have
+        # flat directions), objectives to much better
+        zr = np.asarray(ref.z)
+        zg = np.asarray(got.z)
+        assert np.max(np.abs(zr - zg)) < 5e-2
+
+        def obj(z):
+            Qz = np.einsum("bij,bj->bi", stacked["Q"], z)
+            return 0.5 * np.sum(z * Qz, axis=1) + np.sum(
+                stacked["b"] * z, axis=1
+            )
+        rel = np.abs(obj(zg) - obj(zr)) / (1.0 + np.abs(obj(zr)))
+        assert np.max(rel) < 1e-5
+
+    def test_converges_faster_than_full_splitting(self, cassie_data):
+        _, _, bds = cassie_data
+        full, _ = solve_batched_ds(
+            bds, CASSIE.shape, OPTS.replace(max_iter=2000, adaptive_rho=True)
+        )
+        red, _ = solve_batched_ds(bds, CASSIE.shape, FAST_OPTS)
+        assert (
+            np.asarray(red.details.n_iter).sum()
+            < np.asarray(full.details.n_iter).sum()
+        )
+
+    def test_residuals_below_unscaled_tolerance(self, cassie_data):
+        stacked, _, bds = cassie_data
+        sol, _ = solve_batched_ds(bds, CASSIE.shape, FAST_OPTS)
+        z = np.asarray(sol.z)
+        # feasibility in ORIGINAL (unscaled) units
+        eq = np.max(
+            np.abs(np.einsum("bij,bj->bi", stacked["A_eq"], z) - stacked["b_eq"])
+        )
+        assert eq < 1e-4
+        assert float(np.max(np.asarray(sol.details.bounds_viol))) < 1e-4
+        assert float(np.max(np.asarray(sol.details.friction_cone_viol))) < 1e-4
+
+    def test_warm_restart_identical_problem(self, cassie_data):
+        _, _, bds = cassie_data
+        sol1, warm = solve_batched_ds(bds, CASSIE.shape, FAST_OPTS)
+        sol2, _ = solve_batched_ds(
+            bds, CASSIE.shape, FAST_OPTS, warm=warm, warm_start=True
+        )
+        n1 = np.asarray(sol1.details.n_iter)
+        n2 = np.asarray(sol2.details.n_iter)
+        assert np.median(n2) <= np.median(n1) * 0.1 + 2
+
+    def test_scaling_only_and_splitting_only(self, cassie_data):
+        _, _, bds = cassie_data
+        for kw in (dict(scaling=True, splitting="full"),
+                   dict(scaling=False, splitting="constrained", rho=0.3,
+                        max_iter=4000)):
+            o = FAST_OPTS.replace(**kw)
+            sol, _ = solve_batched_ds(bds, CASSIE.shape, o)
+            assert (np.asarray(sol.details.solve_status) == 0).all()
+
+
 class TestDsReplayAndSharding:
     def test_replay_ds_warm_start(self):
         from fcc_qp_tpu.core.ds_engine import replay_ds, to_ds_batch
 
         qps = generate_osc_sequence(CASSIE, 6, seed=0)
         bds = to_ds_batch(stack_qp_dicts(qps))
-        opts = OPTS.replace(max_iter=1000, adaptive_rho=True)
-        sols, ws = replay_ds(bds, CASSIE.shape, opts)
+        sols, ws = replay_ds(bds, CASSIE.shape, FAST_OPTS)
         n = np.asarray(sols.details.n_iter).ravel()
         st = np.asarray(sols.details.solve_status).ravel()
         assert (st == 0).all()
-        # warm steps converge faster than the cold step on this smooth log
-        assert np.median(n[1:]) < n[0]
+        # warm-started replay needs fewer total iterations than cold
+        # solves of the SAME steps (step hardness varies along the gait,
+        # so comparing different steps would be meaningless)
+        cold, _ = solve_batched_ds(bds, CASSIE.shape, FAST_OPTS)
+        ncold = np.asarray(cold.details.n_iter)
+        assert n[1:].sum() < ncold[1:].sum()
 
     def test_sharded_ds_equals_unsharded(self):
         from fcc_qp_tpu.core.ds_engine import solve_batched_ds, to_ds_batch
@@ -128,6 +206,23 @@ class TestPallasKernelInterpret:
             stack_qp_dicts(generate_osc_batch(CASSIE, 128, seed=0))
         )
         opts = OPTS.replace(max_iter=40, presolve="operator")
+        ref, _ = solve_batched_ds(bds, CASSIE.shape, opts)
+        got, _ = solve_batched_ds(
+            bds, CASSIE.shape, opts, use_pallas=True, pallas_interpret=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.details.n_iter), np.asarray(got.details.n_iter)
+        )
+        assert float(np.max(np.abs(np.asarray(ref.z) - np.asarray(got.z)))) < 1e-4
+
+    def test_pallas_reduced_matches_xla(self):
+        from fcc_qp_tpu.core.ds_engine import solve_batched_ds, to_ds_batch
+        from fcc_qp_tpu.models.osc import generate_osc_batch
+
+        bds = to_ds_batch(
+            stack_qp_dicts(generate_osc_batch(CASSIE, 128, seed=0))
+        )
+        opts = FAST_OPTS.replace(max_iter=60, adaptive_rho=False)
         ref, _ = solve_batched_ds(bds, CASSIE.shape, opts)
         got, _ = solve_batched_ds(
             bds, CASSIE.shape, opts, use_pallas=True, pallas_interpret=True
