@@ -50,7 +50,16 @@ class FCCQPOptions:
       ds engine only.
     * ``kkt_refine_steps``: Newton-Schulz refinement steps on the ds
       KKT inverse (0 disables; with scaling on, the equilibrated KKT
-      usually doesn't need refinement).
+      usually doesn't need refinement). The hybrid factorization runs
+      ``kkt_refine_steps + 1`` thin refinement passes.
+    * ``phase1_tol``: two-phase iteration switch tolerance (unscaled
+      units). When > max(eps_bound, eps_fcone), the reduced engine runs
+      plain-f32 iterations (~4x cheaper) until both residuals cross
+      this value, then finishes in double-single. 0 disables.
+    * ``kkt_factor``: "hybrid" (reduced path default) seeds the KKT
+      inverse with batched f32 XLA Cholesky/matmuls (MXU) and refines
+      only the blocks the ADMM loop needs in ds; "ds" runs the full
+      double-single Schur factorization (latency-bound fori loops).
     """
 
     max_iter: int = 1000
@@ -69,6 +78,8 @@ class FCCQPOptions:
     scaling_iters: int = 8
     splitting: str = "full"  # "full" (reference parity) | "constrained"
     kkt_refine_steps: int = 1
+    kkt_factor: str = "hybrid"  # "hybrid" (f32 seed + thin ds refine) | "ds"
+    phase1_tol: float = 0.0
 
     def __post_init__(self):
         if self.max_iter <= 0:
@@ -89,6 +100,10 @@ class FCCQPOptions:
             raise ValueError("scaling_iters must be > 0")
         if self.kkt_refine_steps < 0:
             raise ValueError("kkt_refine_steps must be >= 0")
+        if self.kkt_factor not in ("hybrid", "ds"):
+            raise ValueError("kkt_factor must be 'hybrid' or 'ds'")
+        if self.phase1_tol < 0:
+            raise ValueError("phase1_tol must be >= 0")
 
     def replace(self, **kw) -> "FCCQPOptions":
         return dataclasses.replace(self, **kw)

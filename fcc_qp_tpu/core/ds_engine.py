@@ -27,9 +27,13 @@ import fcc_qp_tpu.ops.ds as ds
 from fcc_qp_tpu.config import FCCQPOptions, ProblemShape
 from fcc_qp_tpu.ops.ds import DS
 from fcc_qp_tpu.ops.ds_linalg import (
+    assemble_kkt_ds,
     kkt_inverse_blocks_refined_ds,
+    kkt_inverse_f32_seed,
     kkt_solve_refined_ds,
     matvec_ds,
+    refine_inverse_columns_ds,
+    solve_from_seed_ds,
     transpose_ds,
 )
 from fcc_qp_tpu.ops.scaling import (
@@ -230,6 +234,38 @@ def _factor_reduced(
     x_const = ds.sub(Gb, Fb)
     Fcolj = _gather0(F, ci)                    # rows ci: (k, n, B)
     Fcc = DS(Fcolj.hi[:, ci], Fcolj.lo[:, ci])  # (k, k, B)
+    xc_const = _gather0(x_const, ci)
+    return Fcc, xc_const, Fcolj, x_const
+
+
+def _factor_reduced_hybrid(
+    qp: QPBatchDS, rho: Array, ci: np.ndarray, mask: np.ndarray,
+    passes: int,
+):
+    """Hybrid factorization for the reduced hot loop: f32 XLA Schur
+    inverse seed (batched Cholesky + MXU matmuls,
+    `ops.ds_linalg.kkt_inverse_f32_seed`) + thin ds Newton-Schulz
+    refinement of ONLY the needed inverse columns and the constant term
+    — same outputs as `_factor_reduced` at a fraction of the latency
+    (the all-ds Schur route is bound by O(n^2) sequential fori steps).
+    """
+    n = qp.Q.hi.shape[0]
+    rho_diag = rho[None, :] * jnp.asarray(mask, qp.Q.hi.dtype)[:, None]
+    M = assemble_kkt_ds(qp.Q, qp.A_eq, rho_diag)
+    with jax.default_matmul_precision("highest"):
+        X32 = kkt_inverse_f32_seed(qp.Q, qp.A_eq, rho_diag)
+    C = refine_inverse_columns_ds(X32, M, ci, passes=passes)  # (N, k, B)
+    # C[:, j] = M^{-1}[:, ci_j]; the loop needs F[:, ci] j-major over k
+    Fci = DS(C.hi[:n], C.lo[:n])               # (n, k, B) = F[:, ci]
+    Fcolj = transpose_ds(Fci)                  # (k, n, B): [j, i] = F[i, ci_j]
+    Fcc = DS(Fci.hi[ci], Fci.lo[ci])           # (k, k, B): [j', j] = F[ci_j', ci_j]
+    Fcc = transpose_ds(Fcc)                    # j-major over the contraction
+    r = DS(
+        jnp.concatenate([-qp.b.hi, qp.b_eq.hi], axis=0),
+        jnp.concatenate([-qp.b.lo, qp.b_eq.lo], axis=0),
+    )
+    xfull = solve_from_seed_ds(X32, M, r, passes=passes)
+    x_const = DS(xfull.hi[:n], xfull.lo[:n])
     xc_const = _gather0(x_const, ci)
     return Fcc, xc_const, Fcolj, x_const
 
@@ -498,12 +534,15 @@ def _solve_batched_ds_jit(
             _set_seg(st.x_bar, st.lam_bar, ls, nc),
             _set_seg(st.mu_x, st.mu_lam, ls, nc),
         )
-        (x, x_bar, lam_bar, mu_x, mu_lam, _v, done, n_iter,
+        # per-instance counters == the global counter on this
+        # single-phase path (frozen instances are done)
+        itv_in = jnp.full((qp.batch,), st.it, jnp.int32)
+        (x, x_bar, lam_bar, mu_x, mu_lam, _v, done, n_iter, _itv,
          xrn, lrn, prim, dual) = admm_chunk_pallas(
             st.Fj, st.x_const, qp.lb, qp.ub, qp.friction_coeffs,
             st.rho, eps_bound, eps_fcone,
             st.x, st.x_bar, st.lam_bar, st.mu_x, st.mu_lam, v_in,
-            st.done, st.n_iter, st.it,
+            st.done, st.n_iter, itv_in,
             shape=shape, K=K, max_iter=opts.max_iter,
             interpret=pallas_interpret,
         )
@@ -589,6 +628,7 @@ class _RState(NamedTuple):
     prim_norm: Array
     dual_norm: Array
     n_iter: Array
+    itv: Array          # (B,) per-instance iteration counters
     done: Array
 
 
@@ -716,9 +756,16 @@ def _solve_ds_reduced_jit(
     else:
         eq_c = jnp.zeros((B,), jnp.bool_)
 
-    Fcc0, xc_const0, Fcolj0, x_const0 = _factor_reduced(
-        qps, rho0, ci, mask, opts.kkt_refine_steps
-    )
+    if opts.kkt_factor == "hybrid":
+        def factor_fn(rho_):
+            return _factor_reduced_hybrid(
+                qps, rho_, ci, mask, opts.kkt_refine_steps + 1
+            )
+    else:
+        def factor_fn(rho_):
+            return _factor_reduced(qps, rho_, ci, mask, opts.kkt_refine_steps)
+
+    Fcc0, xc_const0, Fcolj0, x_const0 = factor_fn(rho0)
     if x_init is None:
         x_init = x_const0
 
@@ -741,6 +788,7 @@ def _solve_ds_reduced_jit(
         prim_norm=zeros_b,
         dual_norm=zeros_b,
         n_iter=jnp.full((B,), opts.max_iter, jnp.int32),
+        itv=jnp.zeros((B,), jnp.int32),
         done=jnp.zeros((B,), jnp.bool_),
     )
 
@@ -778,8 +826,8 @@ def _solve_ds_reduced_jit(
         dual_norm = st.rho * jnp.sqrt(jnp.sum(dchange * dchange, axis=0))
 
         conv = (lam_res_norm < eps_fcone) & (x_res_norm < eps_bound)
-        active = ~st.done & (st.it < opts.max_iter)
-        n_iter = jnp.where(conv & active, st.it, st.n_iter)
+        active = ~st.done & (st.itv < opts.max_iter)
+        n_iter = jnp.where(conv & active, st.itv, st.n_iter)
 
         def commit_ds(new: DS, old: DS) -> DS:
             return ds.where(active[None, :], new, old)
@@ -798,7 +846,8 @@ def _solve_ds_reduced_jit(
             prim_norm=commit(prim_norm, st.prim_norm),
             dual_norm=commit(dual_norm, st.dual_norm),
             n_iter=n_iter,
-            done=st.done | conv,
+            itv=jnp.where(active, st.itv + 1, st.itv),
+            done=st.done | (conv & active),
         )
 
     def adapt(st: _RState) -> _RState:
@@ -821,9 +870,7 @@ def _solve_ds_reduced_jit(
         mu = ds.mul_f32(st.mu, scale[None, :])
 
         def refactor(_):
-            Fcc, xc_const, Fcolj, x_const = _factor_reduced(
-                qps, new_rho, ci, mask, opts.kkt_refine_steps
-            )
+            Fcc, xc_const, Fcolj, x_const = factor_fn(new_rho)
             return Fcc, xc_const, Fcolj, x_const, st.n_refactor + 1
 
         Fcc, xc_const, Fcolj, x_const, n_refactor = jax.lax.cond(
@@ -875,12 +922,12 @@ def _solve_ds_reduced_jit(
         mu_lam_in = _seg_tail(st.mu, kb)
         lam_bar_in = _seg_tail(st.s, kb)
 
-        (x, x_bar, lam_bar, mu_x, mu_lam, v_out, done, n_iter,
+        (x, x_bar, lam_bar, mu_x, mu_lam, v_out, done, n_iter, itv,
          xrn, lrn, prim, dual) = admm_chunk_pallas(
             st.Fcc, st.xc_const, lb_k, ub_k, mu_eff,
             st.rho, eps_bound, eps_fcone,
             st.xc, st.s, lam_bar_in, mu_x_in, mu_lam_in, st.v,
-            st.done, st.n_iter, st.it,
+            st.done, st.n_iter, st.itv,
             shape=rshape, K=K, max_iter=opts.max_iter,
             interpret=pallas_interpret,
             weights=wk, cone_weights=wl,
@@ -891,18 +938,167 @@ def _solve_ds_reduced_jit(
             it=st.it + K,
             xc=x, s=s_new, mu=mu_new, v=v_out,
             x_res_norm=xrn, lam_res_norm=lrn, prim_norm=prim,
-            dual_norm=dual, n_iter=n_iter, done=done,
+            dual_norm=dual, n_iter=n_iter, itv=itv, done=done,
+        )
+        if opts.adaptive_rho:
+            st = adapt(st)
+        return st
+
+    # ----- phase 1 (optional): plain-f32 approach iterations to a coarse
+    # switch tolerance, then lift hi words to ds for the endgame. The ds
+    # state simply carries zeroed lo words through phase 1. -----
+    tau = jnp.asarray(opts.phase1_tol, f32)
+
+    def lift32(st: _RState) -> _RState:
+        z32 = lambda a: DS(a.hi, jnp.zeros_like(a.lo))
+        return st._replace(
+            xc=z32(st.xc), s=z32(st.s), mu=z32(st.mu), v=z32(st.v)
+        )
+
+    def iteration32(st: _RState) -> _RState:
+        s_prev = st.s.hi
+        v = s_prev - st.mu.hi
+
+        # y[i] = sum_j Fcc[j, i] * v[j] (j-major, matching matvec_ds)
+        y = jax.lax.fori_loop(
+            0, k, lambda j, a: a + st.Fcc.hi[j] * v[j][None, :],
+            jnp.zeros((k, B), f32),
+        )
+        xc = st.xc_const.hi + st.rho[None, :] * y
+
+        if use_alpha:
+            x_hat = opts.alpha * xc + (1.0 - opts.alpha) * s_prev
+        else:
+            x_hat = xc
+
+        t = x_hat + st.mu.hi
+        parts = []
+        if kb:
+            parts.append(jnp.clip(t[:kb], lbc.hi, ubc.hi))
+        if nc:
+            f3 = t[kb:].reshape(nc // 3, 3, B)
+            fx, fy, fz = f3[:, 0], f3[:, 1], f3[:, 2]
+            mu_f = mu_eff.hi
+            norm = jnp.sqrt(fx * fx + fy * fy)
+            inside = mu_f * fz - norm >= 0
+            polar = fz + mu_f * norm < 0
+            tt = (mu_f * norm + fz) / (mu_f * mu_f + 1.0)
+            safe = jnp.where(norm > 0, norm, 1.0)
+            scale_ = tt * mu_f / safe
+            sel = lambda surf, orig: jnp.where(
+                inside, orig, jnp.where(polar, jnp.zeros_like(orig), surf)
+            )
+            cone_s = jnp.stack(
+                [sel(scale_ * fx, fx), sel(scale_ * fy, fy), sel(tt, fz)],
+                axis=1,
+            ).reshape(nc, B)
+            parts.append(cone_s)
+        s_ = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+
+        res = xc - s_
+        mu = st.mu.hi + (x_hat - s_)
+
+        wres = jnp.abs(res) * wk
+        x_res_norm = jnp.max(wres[:kb], axis=0) if kb else zeros_b
+        lam_res_norm = jnp.max(wres[kb:], axis=0) if nc else zeros_b
+
+        dprim = res * wk
+        dchange = (s_ - s_prev) * wk
+        prim_norm = jnp.sqrt(jnp.sum(dprim * dprim, axis=0))
+        dual_norm = st.rho * jnp.sqrt(jnp.sum(dchange * dchange, axis=0))
+
+        conv = (lam_res_norm < tau) & (x_res_norm < tau)
+        active = ~st.done & (st.itv < opts.max_iter)
+
+        def commit2(new, old):
+            return jnp.where(active[None, :], new, old)
+
+        def commit(new, old):
+            return jnp.where(active, new, old)
+
+        zl = lambda a: jnp.zeros_like(a)
+        return st._replace(
+            it=st.it + 1,
+            xc=DS(commit2(xc, st.xc.hi), zl(xc)),
+            s=DS(commit2(s_, st.s.hi), zl(s_)),
+            mu=DS(commit2(mu, st.mu.hi), zl(mu)),
+            v=DS(commit2(v, st.v.hi), zl(v)),
+            x_res_norm=commit(x_res_norm, st.x_res_norm),
+            lam_res_norm=commit(lam_res_norm, st.lam_res_norm),
+            prim_norm=commit(prim_norm, st.prim_norm),
+            dual_norm=commit(dual_norm, st.dual_norm),
+            itv=jnp.where(active, st.itv + 1, st.itv),
+            done=st.done | (conv & active),
+        )
+
+    def chunk_body32_xla(st: _RState) -> _RState:
+        st = jax.lax.fori_loop(0, K, lambda _, s_: iteration32(s_), st)
+        if opts.adaptive_rho:
+            st = adapt(st)
+        return st
+
+    def chunk_body32_pallas(st: _RState) -> _RState:
+        from fcc_qp_tpu.ops.pallas_admm import admm_chunk_pallas32
+
+        rshape = ProblemShape(
+            num_vars=k, num_eq=0, nc=nc, lambda_c_start=kb
+        )
+        inf = jnp.full((nc, B), jnp.inf, f32)
+        lb_k = jnp.concatenate([lbc.hi, -inf], axis=0) if nc else lbc.hi
+        ub_k = jnp.concatenate([ubc.hi, inf], axis=0) if nc else ubc.hi
+        mu_x_in = jnp.concatenate(
+            [st.mu.hi[:kb], jnp.zeros((nc, B), f32)], axis=0
+        ) if nc else st.mu.hi
+        mu_lam_in = st.mu.hi[kb:]
+        lam_bar_in = st.s.hi[kb:]
+
+        (x, x_bar, lam_bar, mu_x, mu_lam, v_out, done, _n_iter, itv,
+         xrn, lrn, prim, dual) = admm_chunk_pallas32(
+            st.Fcc.hi, st.xc_const.hi, lb_k, ub_k, mu_eff.hi,
+            st.rho, tau, tau,
+            st.xc.hi, st.s.hi, lam_bar_in, mu_x_in, mu_lam_in, st.v.hi,
+            st.done, st.n_iter, st.itv,
+            shape=rshape, K=K, max_iter=opts.max_iter,
+            interpret=pallas_interpret,
+            weights=wk, cone_weights=wl,
+        )
+        s_new = jnp.concatenate([x_bar[:kb], lam_bar], axis=0) if nc else x_bar
+        mu_new = jnp.concatenate([mu_x[:kb], mu_lam], axis=0) if nc else mu_x
+        zl = jnp.zeros_like
+        st = st._replace(
+            it=st.it + K,
+            xc=DS(x, zl(x)), s=DS(s_new, zl(s_new)),
+            mu=DS(mu_new, zl(mu_new)), v=DS(v_out, zl(v_out)),
+            x_res_norm=xrn, lam_res_norm=lrn, prim_norm=prim,
+            dual_norm=dual, itv=itv, done=done,
         )
         if opts.adaptive_rho:
             st = adapt(st)
         return st
 
     chunk_body = chunk_body_pallas if use_pallas else chunk_body_xla
+    chunk_body32 = chunk_body32_pallas if use_pallas else chunk_body32_xla
+
+    two_phase = opts.phase1_tol > max(opts.eps_bound, opts.eps_fcone)
+
+    st = init
+    if two_phase:
+        def p1_cond(st: _RState):
+            return (st.it < n_chunks * K) & ~jnp.all(
+                st.done | (st.itv >= opts.max_iter)
+            )
+
+        st = jax.lax.while_loop(p1_cond, chunk_body32, lift32(st))
+        # hand the f32 state to the ds endgame: un-done everything (the
+        # phase-1 done flags meant "crossed tau", not converged)
+        st = st._replace(done=jnp.zeros_like(st.done))
 
     def chunk_cond(st: _RState):
-        return (st.it < n_chunks * K) & ~jnp.all(st.done)
+        return (st.it < 2 * n_chunks * K) & ~jnp.all(
+            st.done | (st.itv >= opts.max_iter)
+        )
 
-    st = jax.lax.while_loop(chunk_cond, chunk_body, init)
+    st = jax.lax.while_loop(chunk_cond, chunk_body, st)
 
     # final full-space primal: re-evaluate the primal update at the v
     # that PRODUCED the accepted xc (a post-update s-mu would take one

@@ -502,3 +502,170 @@ def kkt_solve_refined_ds(
 
     x, y = jax.lax.fori_loop(0, refine_steps, refine, (x, y))
     return x
+
+
+# ---------------------------------------------------------------------------
+# hybrid f32-seed factorization: XLA batched Cholesky/matmuls (MXU) for the
+# Schur-complement inverse in f32, then thin ds refinement of only the
+# blocks the ADMM loop needs. The all-ds Schur route above is ~latency
+# bound (O(n^2) sequential fori micro-steps); this path replaces it with
+# O(1) XLA batched linalg calls + O(N) ds refinement steps.
+# ---------------------------------------------------------------------------
+
+
+def _chol_f32_jittered(H: Array) -> Array:
+    """Batch-leading (B, n, n) f32 Cholesky with one jittered retry for
+    instances whose factor comes back non-finite (the f32 analog of
+    `chol_regularized_ds`; accuracy is healed downstream by ds
+    refinement against the true KKT)."""
+    L = jnp.linalg.cholesky(H)  # internal dots inherit default_matmul_precision
+    bad = ~jnp.all(jnp.isfinite(L), axis=(-1, -2))  # (B,)
+    n = H.shape[-1]
+    scale = jnp.max(jnp.abs(H), axis=(-1, -2))
+    shift = jnp.where(bad, 1e-4 * jnp.maximum(scale, 1.0), 0.0)
+    L2 = jnp.linalg.cholesky(H + shift[:, None, None] * jnp.eye(n, dtype=H.dtype))
+    return jnp.where(bad[:, None, None], L2, L)
+
+
+def spd_inverse_ns_f32(H: Array, iters: int = 30) -> Array:
+    """Batched f32 SPD inverse by Newton-Schulz iteration, pure MXU
+    matmuls (batch-leading (B, n, n)).
+
+    X0 = H / ||H||_F^2 guarantees ||I - X0 H||_2 < 1 for SPD H
+    (lambda_max <= ||H||_F); convergence is linear until the residual
+    drops below ~1, then quadratic — `iters` ~ log2(kappa * n) + 6.
+    ~2 matmuls per iteration, each a (B, n, n) MXU pass at HIGHEST
+    precision (TPU f32 matmuls default to bf16 otherwise); 30
+    iterations of a (4096, 60, 60) batch cost ~2 ms on v5e.
+    """
+    n = H.shape[-1]
+    f32 = H.dtype
+    hi_p = jax.lax.Precision.HIGHEST
+    mm = lambda a, b: jnp.matmul(a, b, precision=hi_p)
+    fro2 = jnp.sum(H * H, axis=(-1, -2))                      # (B,)
+    alpha = 1.0 / jnp.maximum(fro2, 1e-30)
+    X = jnp.swapaxes(H, -1, -2) * alpha[:, None, None]
+    eye2 = 2.0 * jnp.eye(n, dtype=f32)
+
+    def body(_, X):
+        return mm(X, eye2 - mm(H, X))
+
+    return jax.lax.fori_loop(0, iters, body, X)
+
+
+def kkt_inverse_f32_seed(Q: DS, A: DS, rho: Array, delta: float = 1e-2) -> Array:
+    """f32 inverse SEED for the KKT [[Q+diag(rho), A'],[A,0]].
+
+    Batch-last ds inputs; returns the full (N, N, B) f32 inverse of a
+    DELTA-REGULARIZED KKT — [[H + delta*I, A'],[A, 0]] — NOT of the true
+    system: the (1,1) block H alone can be near-singular even when the
+    full KKT is well-conditioned (rank-deficient task Hessians are the
+    norm in OSC; the reference hits the same issue and falls back to a
+    rank-revealing decomposition, `fcc_qp.cpp:163-177`). The downstream
+    ds refinement runs against the TRUE KKT and contracts the delta
+    away at ~delta * ||KKT^-1|| per pass.
+
+    rho: (B,) uniform or (n, B) per-coordinate.
+
+    Implementation is MXU-only: Newton-Schulz SPD inverses of H_delta
+    and of the Schur complement S = A H_delta^-1 A'. (XLA's batched
+    Cholesky/triangular-solve are latency-bound on TPU: ~100 ms for
+    (4096, 60, 60) vs ~5 ms for this route.)
+    """
+    n, _, B = Q.hi.shape
+    m = A.hi.shape[0]
+    f32 = Q.hi.dtype
+    hi_p = jax.lax.Precision.HIGHEST
+    mm = lambda a, b: jnp.matmul(a, b, precision=hi_p)
+    Qb = jnp.moveaxis(Q.hi, -1, 0)              # (B, n, n)
+    Ab = jnp.moveaxis(A.hi, -1, 0)              # (B, m, n)
+    rho_nb = rho if rho.ndim == 2 else jnp.broadcast_to(rho[None, :], (n, B))
+    dvec = jnp.moveaxis(rho_nb, -1, 0)          # (B, n)
+    eye_n = jnp.eye(n, dtype=f32)
+    H = Qb + dvec[:, :, None] * eye_n
+    dscale = delta * jnp.max(jnp.abs(H), axis=(-1, -2))  # (B,)
+    H = H + dscale[:, None, None] * eye_n
+
+    Hinv = spd_inverse_ns_f32(H)
+    At = jnp.swapaxes(Ab, -1, -2)               # (B, n, m)
+    W = mm(Hinv, At)                            # (B, n, m)
+    S = mm(Ab, W)                               # (B, m, m)
+    Sinv = spd_inverse_ns_f32(S)
+    T = mm(Sinv, jnp.swapaxes(W, -1, -2))       # (B, m, n)
+    F = Hinv - mm(W, T)
+    G = jnp.swapaxes(T, -1, -2)
+    X = jnp.concatenate(
+        [
+            jnp.concatenate([F, G], axis=-1),
+            jnp.concatenate([T, -Sinv], axis=-1),
+        ],
+        axis=-2,
+    )                                           # (B, N, N)
+
+    # polish the delta away against the TRUE (unregularized) f32 KKT:
+    # each full Newton-Schulz step squares ||I - X M|| (~delta*||M^-1||
+    # from the regularization) down to the f32 floor — two MXU matmuls
+    # of (B, N, N) per step
+    N = n + m
+    Mb = jnp.zeros((B, N, N), f32)
+    Mb = Mb.at[:, :n, :n].set(Qb + dvec[:, :, None] * eye_n)
+    Mb = Mb.at[:, :n, n:].set(At)
+    Mb = Mb.at[:, n:, :n].set(Ab)
+    eye2N = 2.0 * jnp.eye(N, dtype=f32)
+    for _ in range(3):
+        X = mm(X, eye2N - mm(Mb, X))
+
+    return jnp.moveaxis(X, 0, -1)               # (N, N, B)
+
+
+def refine_inverse_columns_ds(
+    X32: Array, M: DS, cols: np.ndarray, passes: int = 2
+) -> DS:
+    """ds-accurate selected columns of M^{-1} from an f32 inverse seed.
+
+    Newton-Schulz restricted to the needed columns: per pass, the
+    residual R = E_cols - M C is computed in ds (exactness matters: R is
+    what carries the correction), while the correction X32 @ R.hi runs
+    as one f32 MXU matmul (R ~ 1e-4, so f32 relative error lands at
+    ~1e-11 absolute). Two passes take a kappa~1e5 f32 seed to ds level.
+
+    X32 (N, N, B) f32, M (N, N, B) ds, cols static -> C (N, k, B) ds.
+    """
+    N, _, B = M.hi.shape
+    f32 = M.hi.dtype
+    k = len(cols)
+    C = ds.from_f32(X32[:, cols])
+    E = DS(
+        jnp.broadcast_to(jnp.eye(N, dtype=f32)[:, cols, None], (N, k, B)),
+        jnp.zeros((N, k, B), f32),
+    )
+    X32b = jnp.moveaxis(X32, -1, 0)             # (B, N, N)
+    hi_p = jax.lax.Precision.HIGHEST
+    for _ in range(passes):
+        R = ds.sub(E, matmul_ds(M, C))
+        dC = jnp.matmul(
+            X32b, jnp.moveaxis(R.hi, -1, 0), precision=hi_p
+        )                                       # (B, N, k) on the MXU
+        C = ds.add(C, ds.from_f32(jnp.moveaxis(dC, 0, -1)))
+    return C
+
+
+def solve_from_seed_ds(X32: Array, M: DS, r: DS, passes: int = 2) -> DS:
+    """ds-accurate solve M x = r via the f32 inverse seed + iterative
+    refinement with ds residuals (M symmetric). r (N, B) -> x (N, B)."""
+    X32b = jnp.moveaxis(X32, -1, 0)             # (B, N, N)
+    hi_p = jax.lax.Precision.HIGHEST
+
+    def apply32(v: Array) -> Array:
+        return jnp.moveaxis(
+            jnp.matmul(
+                X32b, jnp.moveaxis(v, -1, 0)[:, :, None], precision=hi_p
+            )[:, :, 0],
+            0, -1,
+        )
+
+    x = ds.from_f32(apply32(r.hi))
+    for _ in range(passes):
+        resid = ds.sub(r, matvec_ds(M, x))      # M symmetric: j-major ok
+        x = ds.add(x, ds.from_f32(apply32(resid.hi)))
+    return x
