@@ -464,12 +464,12 @@ def admm_chunk_pallas(
     if cone_weights is None or nc == 0:
         cone_weights = jnp.ones((max(nc, 1), B), f32)
 
-    mat = _dup((nv, nv, TILE), lambda i: (0, 0, i))
-    vec = _dup((nv, TILE), lambda i: (0, i))
-    cvec = _dup((max(nc, 1), TILE), lambda i: (0, i))
-    cone = _dup((max(nc // 3, 1), TILE), lambda i: (0, i))
-    one = _dup((1, TILE), lambda i: (0, i))
-    smem2 = pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    mat = _dup((nv, nv, TILE), lambda i: (i * 0, i * 0, i))
+    vec = _dup((nv, TILE), lambda i: (i * 0, i))
+    cvec = _dup((max(nc, 1), TILE), lambda i: (i * 0, i))
+    cone = _dup((max(nc // 3, 1), TILE), lambda i: (i * 0, i))
+    one = _dup((1, TILE), lambda i: (i * 0, i))
+    smem2 = pl.BlockSpec((1, 2), lambda i: (i * 0, i * 0), memory_space=pltpu.SMEM)
 
     eps = jnp.array([[eps_bound, eps_fcone]], f32)
     rho2 = rho.reshape(1, B).astype(f32)
@@ -603,12 +603,12 @@ def admm_chunk_pallas32(
     if cone_weights is None or nc == 0:
         cone_weights = jnp.ones((max(nc, 1), B), f32)
 
-    mat = _dup((nv, nv, TILE), lambda i: (0, 0, i))
-    vec = _dup((nv, TILE), lambda i: (0, i))
-    cvec = _dup((max(nc, 1), TILE), lambda i: (0, i))
-    cone = _dup((max(nc // 3, 1), TILE), lambda i: (0, i))
-    one = _dup((1, TILE), lambda i: (0, i))
-    smem2 = pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    mat = _dup((nv, nv, TILE), lambda i: (i * 0, i * 0, i))
+    vec = _dup((nv, TILE), lambda i: (i * 0, i))
+    cvec = _dup((max(nc, 1), TILE), lambda i: (i * 0, i))
+    cone = _dup((max(nc // 3, 1), TILE), lambda i: (i * 0, i))
+    one = _dup((1, TILE), lambda i: (i * 0, i))
+    smem2 = pl.BlockSpec((1, 2), lambda i: (i * 0, i * 0), memory_space=pltpu.SMEM)
 
     eps = jnp.array([[eps_bound, eps_fcone]], f32)
     rho2 = rho.reshape(1, B).astype(f32)

@@ -140,3 +140,64 @@ def _native_io():
 def default_log_path(name: str = "walking", root: str | None = None) -> str:
     root = root or os.path.join(os.path.dirname(__file__), "..", "..", "test_data")
     return os.path.abspath(os.path.join(root, f"id_qp_log_{name}.npz"))
+
+
+# ---------------------------------------------------------------------------
+# warm-start checkpointing (SURVEY.md §5.4): the reference's only
+# "resume" state is the in-memory warm start (x_, mu_x_, mu_lambda_c_
+# persisting across Solve calls, /root/reference/src/fcc_qp.hpp:149-153).
+# For long batched runs we persist that pytree to disk so a sequential
+# replay or a large sweep can resume mid-stream.
+# ---------------------------------------------------------------------------
+
+
+def save_warm_start(path: str, warm) -> None:
+    """Persist a `WarmStart` (f64) or `WarmStartDS` (f32-pair) pytree.
+
+    Stores each leaf under its field path; the ds flavor keeps hi/lo
+    words exactly (bit-exact resume).
+    """
+    import jax
+
+    leaves = jax.tree_util.tree_flatten_with_path(warm)[0]
+    payload = {
+        "__kind__": np.asarray(type(warm).__name__),
+    }
+    for keypath, leaf in leaves:
+        key = "/".join(
+            getattr(k, "name", None) or str(getattr(k, "idx", k))
+            for k in keypath
+        )
+        payload[key] = np.asarray(leaf)
+    np.savez(path, **payload)
+
+
+def load_warm_start(path: str):
+    """Load a warm-start pytree written by `save_warm_start`."""
+    import jax.numpy as jnp
+
+    from fcc_qp_tpu.types import WarmStart
+
+    with np.load(path) as f:
+        kind = str(f["__kind__"])
+        data = {k: f[k] for k in f.files if k != "__kind__"}
+
+    if kind == "WarmStartDS":
+        from fcc_qp_tpu.core.ds_engine import WarmStartDS
+        from fcc_qp_tpu.ops.ds import DS
+
+        def d(name):
+            return DS(
+                jnp.asarray(data[f"{name}/hi"]),
+                jnp.asarray(data[f"{name}/lo"]),
+            )
+
+        return WarmStartDS(
+            x=d("x"), mu_x=d("mu_x"), mu_lambda_c=d("mu_lambda_c"),
+            rho=jnp.asarray(data["rho"]),
+        )
+    if kind == "WarmStart":
+        return WarmStart(
+            **{k: jnp.asarray(v) for k, v in data.items()}
+        )
+    raise ValueError(f"{path}: unknown warm-start kind {kind!r}")

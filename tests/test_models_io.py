@@ -105,3 +105,68 @@ class TestLogIO:
             f.write(b"NOPE" + b"\x00" * 100)
         with pytest.raises(ValueError):
             load_qp_log_packed(path)
+
+
+class TestWarmStartCheckpoint:
+    """SURVEY.md §5.4: on-disk persistence of the warm-start pytree."""
+
+    def test_ds_roundtrip_bit_exact(self, tmp_path):
+        import jax
+        import numpy as np
+
+        from fcc_qp_tpu import FCCQPOptions
+        from fcc_qp_tpu.core.ds_engine import solve_batched_ds, to_ds_batch
+        from fcc_qp_tpu.models.osc import CASSIE, generate_osc_batch
+        from fcc_qp_tpu.utils.io import (
+            load_warm_start,
+            save_warm_start,
+            stack_qp_dicts,
+        )
+
+        bds = to_ds_batch(stack_qp_dicts(generate_osc_batch(CASSIE, 4, seed=0)))
+        opts = FCCQPOptions(
+            max_iter=800, rho=0.05, eps_fcone=1e-6, eps_bound=1e-6,
+            scaling=True, splitting="constrained", presolve="operator",
+        )
+        sol, warm = solve_batched_ds(bds, CASSIE.shape, opts)
+        path = str(tmp_path / "warm.npz")
+        save_warm_start(path, warm)
+        w2 = load_warm_start(path)
+        for a, b in zip(jax.tree.leaves(warm), jax.tree.leaves(w2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # resuming from the checkpoint behaves like resuming in-memory
+        s_mem, _ = solve_batched_ds(
+            bds, CASSIE.shape, opts, warm=warm, warm_start=True
+        )
+        s_ckpt, _ = solve_batched_ds(
+            bds, CASSIE.shape, opts, warm=w2, warm_start=True
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s_mem.details.n_iter), np.asarray(s_ckpt.details.n_iter)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(s_mem.z), np.asarray(s_ckpt.z)
+        )
+
+    def test_f64_roundtrip(self, tmp_path):
+        import jax
+        import numpy as np
+
+        from fcc_qp_tpu import FCCQPOptions, solve_batched
+        from fcc_qp_tpu.models.osc import CASSIE, generate_osc_batch
+        from fcc_qp_tpu.utils.io import (
+            load_warm_start,
+            save_warm_start,
+            stack_qp_dicts,
+            to_qpbatch,
+        )
+
+        qp = to_qpbatch(stack_qp_dicts(generate_osc_batch(CASSIE, 2, seed=1)))
+        opts = FCCQPOptions(max_iter=200, rho=0.3, eps_fcone=1e-6,
+                            eps_bound=1e-6)
+        _, warm = solve_batched(qp, CASSIE.shape, opts)
+        path = str(tmp_path / "warm64.npz")
+        save_warm_start(path, warm)
+        w2 = load_warm_start(path)
+        for a, b in zip(jax.tree.leaves(warm), jax.tree.leaves(w2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
