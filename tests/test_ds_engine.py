@@ -176,6 +176,25 @@ class TestDsReplayAndSharding:
         ncold = np.asarray(cold.details.n_iter)
         assert n[1:].sum() < ncold[1:].sum()
 
+    def test_sharded_reduced_equals_unsharded(self):
+        from fcc_qp_tpu.core.ds_engine import solve_batched_ds, to_ds_batch
+        from fcc_qp_tpu.models.osc import generate_osc_batch
+        from fcc_qp_tpu.parallel import make_mesh
+        from fcc_qp_tpu.parallel.sharded import solve_batched_ds_sharded
+
+        bds = to_ds_batch(
+            stack_qp_dicts(generate_osc_batch(CASSIE, 16, seed=3))
+        )
+        opts = FAST_OPTS.replace(max_iter=600)
+        ref, _ = solve_batched_ds(bds, CASSIE.shape, opts)
+        sol, ws, summary = solve_batched_ds_sharded(
+            bds, CASSIE.shape, opts, mesh=make_mesh()
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref.z), np.asarray(sol.z), atol=1e-9
+        )
+        assert len(sol.z.sharding.device_set) == 8
+
     def test_sharded_ds_equals_unsharded(self):
         from fcc_qp_tpu.core.ds_engine import solve_batched_ds, to_ds_batch
         from fcc_qp_tpu.models.osc import generate_osc_batch
