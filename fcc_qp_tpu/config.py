@@ -60,6 +60,25 @@ class FCCQPOptions:
       inverse with batched f32 XLA Cholesky/matmuls (MXU) and refines
       only the blocks the ADMM loop needs in ds; "ds" runs the full
       double-single Schur factorization (latency-bound fori loops).
+    * ``polish``: OSQP-style active-set polishing (`ops/polish.py`) —
+      the acceleration the paper credits OSQP with (`fccqp.pdf` Table
+      2). Runs the ADMM only to ``polish_tol`` (coarse, f32 phase),
+      identifies the active set from the slack/dual state, and solves
+      the reduced equality-KKT with `polish_newton_steps` Newton steps
+      (cone-surface constraints are linearized and re-linearized).
+      Acceptance is self-validating per instance: the polished point
+      and reconstructed duals must pass the SAME projection-consistency
+      residual test at full eps; rejected instances fall back to the
+      plain ADMM endgame. Typically removes the O(100)-iteration linear
+      ADMM tail between 1e-2 and 1e-6. Reduced ds path only.
+    * ``polish_tol``: coarse ADMM tolerance (unscaled units) at which
+      the active set is read off and polishing is attempted.
+    * ``polish_act_tol``: active-set classification proximity (unscaled
+      units): a coordinate counts as active when its projected slack
+      sits within this distance of its bound / cone surface.
+    * ``polish_newton_steps``: Newton re-linearization steps for
+      cone-surface constraints (1 is exact for purely linear active
+      sets; 2 recovers quadratic accuracy through the curved cone).
     """
 
     max_iter: int = 1000
@@ -80,6 +99,10 @@ class FCCQPOptions:
     kkt_refine_steps: int = 1
     kkt_factor: str = "hybrid"  # "hybrid" (f32 seed + thin ds refine) | "ds"
     phase1_tol: float = 0.0
+    polish: bool = False
+    polish_tol: float = 1e-2
+    polish_act_tol: float = 1e-3
+    polish_newton_steps: int = 2
 
     def __post_init__(self):
         if self.max_iter <= 0:
@@ -104,6 +127,10 @@ class FCCQPOptions:
             raise ValueError("kkt_factor must be 'hybrid' or 'ds'")
         if self.phase1_tol < 0:
             raise ValueError("phase1_tol must be >= 0")
+        if self.polish_tol <= 0 or self.polish_act_tol <= 0:
+            raise ValueError("polish tolerances must be > 0")
+        if self.polish_newton_steps < 1:
+            raise ValueError("polish_newton_steps must be >= 1")
 
     def replace(self, **kw) -> "FCCQPOptions":
         return dataclasses.replace(self, **kw)

@@ -87,6 +87,7 @@ def _admm_batched(
     rho0: Array,
     shape: ProblemShape,
     opts: FCCQPOptions,
+    operator=None,
 ):
     nv, nc, ls = shape.num_vars, shape.nc, shape.lambda_c_start
     dtype = qp.Q.dtype
@@ -104,7 +105,10 @@ def _admm_batched(
     def set_seg(v, s):
         return jax.lax.dynamic_update_slice_in_dim(v, s, ls, axis=-1)
 
-    F0, x_const0 = _batched_factor(qp, rho0)
+    if operator is None:
+        F0, x_const0 = _batched_factor(qp, rho0)
+    else:
+        F0, x_const0 = operator
 
     zeros_b = jnp.zeros((B,), dtype)
     init = _BatchState(
@@ -251,6 +255,8 @@ def solve_batched_fast(
     warm: Optional[WarmStart] = None,
     warm_start: bool = False,
     rho: Optional[Array] = None,
+    operator=None,
+    timing: bool = True,
 ) -> tuple[FCCQPSolution, WarmStart]:
     """Accelerated batched solve (leading batch axis required).
 
@@ -259,8 +265,39 @@ def solve_batched_fast(
     options in `FCCQPOptions`. Returns per-instance rho inside the warm
     state's dual scaling implicitly (rho itself is returned in details
     via the solution's warm pytree when adaptive).
+
+    Eager calls with ``timing=True`` dispatch the initial factorization
+    and the solve as two chained programs and fill the details' timing
+    fields with wall-clock phase spans (``operator`` lets a wrapper
+    pass the prebuilt initial operator in explicitly).
     """
     dtype = qp.Q.dtype
+    if (
+        timing
+        and operator is None
+        and not isinstance(qp.Q, jax.core.Tracer)
+        and qp.Q.ndim == 3
+    ):
+        import time
+
+        from fcc_qp_tpu.utils.timing import stamp_solution_times, sync
+
+        B_ = qp.b.shape[0]
+        rho_vec = (
+            jnp.full((B_,), opts.rho, dtype)
+            if rho is None
+            else jnp.broadcast_to(jnp.asarray(rho, dtype), (B_,))
+        )
+        t0 = time.perf_counter()
+        op = _batched_factor_jit(qp, rho_vec)
+        sol, ws = solve_batched_fast_jit(
+            qp, shape, opts, warm, warm_start, rho_vec, op, False
+        )
+        sync(op)
+        t1 = time.perf_counter()
+        sync(sol)
+        t2 = time.perf_counter()
+        return stamp_solution_times(sol, t2 - t0, t1 - t0), ws
     B = qp.b.shape[0]
     nc = shape.nc
 
@@ -289,7 +326,9 @@ def solve_batched_fast(
     else:
         eq_c = jnp.zeros((B,), jnp.bool_)
 
-    st = _admm_batched(qp, x_init, mu_x0, mu_lam0, rho, shape, opts)
+    st = _admm_batched(
+        qp, x_init, mu_x0, mu_lam0, rho, shape, opts, operator=operator
+    )
 
     x = jnp.where(eq_c[:, None], x_init, st.x)
     n_iter = jnp.where(eq_c, 0, st.n_iter)
@@ -310,5 +349,7 @@ def solve_batched_fast(
 
 
 solve_batched_fast_jit = jax.jit(
-    solve_batched_fast, static_argnames=("shape", "opts", "warm_start")
+    solve_batched_fast,
+    static_argnames=("shape", "opts", "warm_start", "timing"),
 )
+_batched_factor_jit = jax.jit(_batched_factor)

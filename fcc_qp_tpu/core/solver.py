@@ -74,6 +74,7 @@ def _admm(
     rho: Array,
     eps_fcone: Array,
     eps_bound: Array,
+    operator=None,
 ):
     """Single-instance ADMM loop (`fcc_qp.cpp:57-112`), masked for vmap."""
     nv, nc, ls = shape.num_vars, shape.nc, shape.lambda_c_start
@@ -81,8 +82,13 @@ def _admm(
     zero = jnp.zeros((), dtype)
 
     # "Factorization": build the primal-update operator once per solve
-    # (analog of the per-solve LDLT at fcc_qp.cpp:62-71).
-    F, x_const = admm_operator(qp.Q, qp.b, qp.A_eq, qp.b_eq, rho, nv)
+    # (analog of the per-solve LDLT at fcc_qp.cpp:62-71). Callers that
+    # time the factorization phase (FCCQP.Solve) pass the operator in so
+    # it is built exactly once.
+    if operator is None:
+        F, x_const = admm_operator(qp.Q, qp.b, qp.A_eq, qp.b_eq, rho, nv)
+    else:
+        F, x_const = operator
 
     def seg(v):
         return jax.lax.slice_in_dim(v, ls, ls + nc, axis=-1)
@@ -191,6 +197,7 @@ def solve(
     warm: Optional[WarmStart] = None,
     warm_start: bool = False,
     rho: Optional[Array] = None,
+    operator=None,
 ) -> tuple[FCCQPSolution, WarmStart]:
     """Solve one QP instance. Pure; jit/vmap/scan-compatible.
 
@@ -203,6 +210,9 @@ def solve(
 
     ``warm_start`` is a static Python bool (two traces); ``rho`` may be a
     traced scalar to support penalty adaptation without retracing.
+    ``operator``: optional prebuilt ``(F, x_const)`` ADMM operator from
+    `ops.kkt.admm_operator` (must match ``rho``) so a timing wrapper can
+    measure the factorization phase without building it twice.
     """
     dtype = qp.Q.dtype
     nv, nc = shape.num_vars, shape.nc
@@ -238,7 +248,10 @@ def solve(
         x_init = _presolve(qp, shape)
 
     def run_admm(x0):
-        st = _admm(qp, x0, mu_x0, mu_lam0, shape, opts, rho, eps_fcone, eps_bound)
+        st = _admm(
+            qp, x0, mu_x0, mu_lam0, shape, opts, rho, eps_fcone,
+            eps_bound, operator=operator,
+        )
         return (
             st.x, st.mu_x, st.mu_lam, st.n_iter, st.x_res_norm, st.lam_res_norm,
         )
@@ -261,9 +274,20 @@ def solve(
 
 
 @partial(jax.jit, static_argnames=("shape", "opts", "warm_start"))
-def _solve_batched_jit(qp, shape, opts, warm, warm_start):
+def _solve_batched_jit(qp, shape, opts, warm, warm_start, operator=None):
     fn = partial(solve, shape=shape, opts=opts, warm_start=warm_start)
-    return jax.vmap(lambda q, w: fn(q, warm=w))(qp, warm)
+    if operator is None:
+        return jax.vmap(lambda q, w: fn(q, warm=w))(qp, warm)
+    return jax.vmap(lambda q, w, op: fn(q, warm=w, operator=op))(
+        qp, warm, operator
+    )
+
+
+@partial(jax.jit, static_argnames=("num_vars",))
+def _operator_batched_jit(Q, b, A_eq, b_eq, rho, num_vars):
+    return jax.vmap(
+        lambda q_, b_, a_, e_: admm_operator(q_, b_, a_, e_, rho, num_vars)
+    )(Q, b, A_eq, b_eq)
 
 
 def solve_batched(
@@ -272,17 +296,43 @@ def solve_batched(
     opts: FCCQPOptions = FCCQPOptions(),
     warm: Optional[WarmStart] = None,
     warm_start: bool = False,
+    timing: bool = True,
 ) -> tuple[FCCQPSolution, WarmStart]:
     """Solve a batch of independent QP instances (leading batch dim).
 
     The TPU-native replacement for looping `Solve` calls: one jitted
     program, batch-parallel on-chip, shardable across a mesh (see
     `fcc_qp_tpu.parallel`).
+
+    When called eagerly with ``timing=True`` (default), the ADMM
+    operator build and the solve run as two chained dispatches and
+    ``details.solve_time`` / ``details.factorization_time`` carry true
+    wall-clock phase spans (batch-level broadcast, reference parity
+    `src/fcc_qp.cpp:67-71,120,188-190`).
     """
+    dtype = qp.Q.dtype
     if warm is None:
-        dtype = qp.Q.dtype
         warm = WarmStart.zeros(shape, batch_shape=qp.batch_shape, dtype=dtype)
-    return _solve_batched_jit(qp, shape, opts, warm, warm_start)
+    if isinstance(qp.Q, jax.core.Tracer) or not timing or qp.Q.ndim != 3:
+        return _solve_batched_jit(qp, shape, opts, warm, warm_start)
+
+    import time
+
+    from fcc_qp_tpu.utils.timing import stamp_solution_times, sync
+
+    rho = jnp.asarray(opts.rho, dtype)
+    t0 = time.perf_counter()
+    operator = _operator_batched_jit(
+        qp.Q, qp.b, qp.A_eq, qp.b_eq, rho, num_vars=shape.num_vars
+    )
+    sol, ws = _solve_batched_jit(
+        qp, shape, opts, warm, warm_start, operator
+    )
+    sync(operator)
+    t1 = time.perf_counter()
+    sync(sol)
+    t2 = time.perf_counter()
+    return stamp_solution_times(sol, t2 - t0, t1 - t0), ws
 
 
 @partial(jax.jit, static_argnames=("shape", "opts"))

@@ -1,0 +1,565 @@
+"""OSQP-style active-set polishing for the reduced ds ADMM engine.
+
+The reference solver runs plain ADMM to tolerance
+(`/root/reference/src/fcc_qp.cpp:79-110`); its paper credits OSQP's
+extra speed to "rho-adaptation + polishing" (`fccqp.pdf` p.6 Table 2).
+ADMM contracts linearly, so the tail from ~1e-2 to 1e-6 costs hundreds
+of iterations. This module removes that tail the OSQP way, adapted to
+the exact second-order cones FCCQP exists for:
+
+1. Run ADMM only to a coarse tolerance (``polish_tol``, cheap f32
+   iterations) — enough for the projected slack to identify the active
+   set.
+2. Classify every constrained coordinate: box at lower/upper bound;
+   every friction cone as interior / on the cone surface / at the apex
+   (the swing-leg case, lambda = 0).
+3. Solve the equality-KKT of the reduced problem — original equalities
+   plus pinned bounds, apex pins, and *linearized* cone-surface rows
+   g(lambda) = ||lambda_xy|| - mu lambda_z = 0 (degree-1 homogeneous,
+   so the linearized rhs is exactly 0) — re-linearizing
+   ``polish_newton_steps`` times (an SQP/Newton step through the curved
+   cone surface is quadratically convergent).
+4. Self-validate per instance: reconstruct the ADMM scaled duals from
+   the KKT multipliers (rho * mu = lambda at the ADMM fixed point) and
+   require the polished point to pass the SAME projection-consistency
+   residual test the plain loop uses, at full eps, in ds precision.
+   Any misclassification (wrong pin, degenerate active set, diverged
+   refinement) shows up as a large residual and the instance is
+   rejected back to the ADMM endgame — polishing can never make a
+   result silently worse.
+
+TPU design: the active set is encoded as STATIC-shaped masked rows
+(kb box rows + nc cone rows, inactive rows zeroed with a unit diagonal
+in the (2,2) block so their multipliers are exactly 0), so one batched
+MXU Newton--Schulz factorization serves every instance regardless of
+which constraints are active. All dense algebra is batch-last ds with
+an f32 MXU inverse seed + ds iterative refinement, mirroring
+`ops/ds_linalg.kkt_inverse_f32_seed`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+import fcc_qp_tpu.ops.ds as ds
+from fcc_qp_tpu.ops.ds import DS
+from fcc_qp_tpu.ops.ds_linalg import matvec_ds, transpose_ds
+
+
+class PolishResult(NamedTuple):
+    x: DS          # (n, B) polished primal, scaled space
+    mu: DS         # (k, B) reconstructed scaled ADMM duals (lambda/rho)
+    s: DS          # (k, B) projected slack at the polished point
+    accept: Array  # (B,) bool — passed the full-eps residual check
+    x_res: Array   # (B,) weighted box residual of the polished point
+    lam_res: Array  # (B,) weighted cone residual
+
+
+def _cone_geometry(lam3: DS):
+    """Per-cone tangential norm and unit direction in ds.
+
+    lam3: (ncones, 3, B) ds. Returns (nxy, gx, gy) with the safe-norm
+    guard for the apex (nxy = 0) case.
+    """
+    fx = DS(lam3.hi[:, 0], lam3.lo[:, 0])
+    fy = DS(lam3.hi[:, 1], lam3.lo[:, 1])
+    nxy = ds.sqrt(ds.add(ds.mul(fx, fx), ds.mul(fy, fy)))
+    safe = ds.where(nxy.hi > 0, nxy, ds.from_f32(jnp.ones_like(nxy.hi)))
+    return nxy, ds.div(fx, safe), ds.div(fy, safe)
+
+
+def classify_active(
+    s: DS,
+    mu: DS,
+    rho: Array,
+    lbc: DS,
+    ubc: DS,
+    mu_eff: DS,
+    kb: int,
+    nc: int,
+    wk: Array,
+    act_tol: float,
+):
+    """Active-set classification from the projected ADMM slack + duals.
+
+    Projection places active coordinates EXACTLY on their bound / cone
+    surface, so proximity in unscaled units (weights ``wk``) is the
+    primary signal (same rule OSQP uses on its slack variables). For
+    cones, proximity alone misclassifies the *weakly binding* case —
+    e.g. a swing-leg cone whose true optimal force is tiny-but-nonzero
+    sits within act_tol of the apex, yet pinning it to zero injects an
+    error of exactly that tiny force. The dual magnitude disambiguates:
+    the unscaled multiplier lambda = rho * mu * w is ~0 for an inactive
+    (interior) constraint and O(binding force) for an active one, so a
+    near-apex/near-surface cone with |lambda| < act_tol is classified
+    interior and the polish solves for its exact tiny force instead.
+
+    Returns (low, up, surf, apex): low/up (kb, B) bool; surf/apex
+    (ncones, B) bool, mutually exclusive with interior = ~(surf|apex).
+    """
+    f32 = s.hi.dtype
+    B = s.hi.shape[-1]
+    if kb:
+        sb = s.hi[:kb]
+        wb = wk[:kb]
+        low = jnp.isfinite(lbc.hi) & ((sb - lbc.hi) * wb < act_tol)
+        up = jnp.isfinite(ubc.hi) & ((ubc.hi - sb) * wb < act_tol) & ~low
+    else:
+        low = jnp.zeros((0, B), bool)
+        up = jnp.zeros((0, B), bool)
+    if nc:
+        ncones = nc // 3
+        st = s.hi[kb:].reshape(ncones, 3, B)
+        wt = wk[kb:].reshape(ncones, 3, B)
+        # unscaled dual magnitude per cone
+        lam_u = (
+            jnp.abs(mu.hi[kb:]) * wk[kb:] * rho[None, :]
+        ).reshape(ncones, 3, B).max(axis=1)
+        dual_on = lam_u > act_tol
+        fx, fy, fz = st[:, 0], st[:, 1], st[:, 2]
+        nxy = jnp.sqrt(fx * fx + fy * fy)
+        g = nxy - mu_eff.hi * fz
+        apex = (
+            (jnp.abs(fz) * wt[:, 2] < act_tol)
+            & (nxy * wt[:, 0] < act_tol)
+            & dual_on
+        )
+        surf = ~apex & (jnp.abs(g) * wt[:, 0] < act_tol) & dual_on
+    else:
+        apex = jnp.zeros((0, B), bool)
+        surf = jnp.zeros((0, B), bool)
+    return low, up, surf, apex
+
+
+def _curvature_augmented_q(
+    Q: DS, eta: Array, lam3: DS, mu_eff: DS, surf: Array, ls: int
+) -> DS:
+    """Q + sum_j eta_j * grad^2 g_j(lambda_j) — the Lagrangian Hessian.
+
+    Without the cone-surface curvature term the SQP iteration converges
+    only LINEARLY (rate ~ eta*curvature / sigma(Q), measured ~0.45 on
+    Cassie data); with it Newton is quadratic. For the degree-1
+    homogeneous g, grad^2 g = (1/||l_xy||)(I2 - d d') on the tangential
+    pair and grad^2 g(l) l = 0 (Euler), so the KKT rhs is UNCHANGED —
+    only the (1,1) block gains the four tangential entries per active
+    cone. eta is clamped at 0 (active multipliers are nonnegative);
+    f32-hi accuracy suffices because the term only steers the Newton
+    path, never the fixed point.
+    """
+    ncones = lam3.hi.shape[0]
+    nxy, gx, gy = _cone_geometry(lam3)
+    safe_nxy = jnp.where(nxy.hi > 1e-20, nxy.hi, 1.0)
+    c = jnp.where(surf, jnp.maximum(eta, 0.0) / safe_nxy, 0.0)
+    pxx = c * (1.0 - gx.hi * gx.hi)
+    pyy = c * (1.0 - gy.hi * gy.hi)
+    pxy = -c * gx.hi * gy.hi
+    ix = ls + np.arange(ncones) * 3
+    iy = ix + 1
+    Qh = (
+        Q.hi
+        .at[ix, ix].add(pxx)
+        .at[iy, iy].add(pyy)
+        .at[ix, iy].add(pxy)
+        .at[iy, ix].add(pxy)
+    )
+    return DS(Qh, Q.lo)
+
+
+def _cone_rows(
+    lam3: DS, mu_eff: DS, surf: Array, apex: Array, n: int, ls: int
+) -> DS:
+    """Masked cone constraint rows (nc, n, B) ds, linearized at lam3.
+
+    Per cone j (rows 3j..3j+2, columns ls+3j..ls+3j+2):
+      surface: row 3j = (lx/nxy, ly/nxy, -mu); rows 3j+1, 3j+2 zero.
+      apex:    identity pins on all three coordinates.
+      interior: all rows zero.
+    """
+    ncones, _, B = lam3.hi.shape
+    nc = 3 * ncones
+    f32 = lam3.hi.dtype
+    _, gx, gy = _cone_geometry(lam3)
+    one = jnp.ones((ncones, B), f32)
+    zero = jnp.zeros((ncones, B), f32)
+    apex_f = apex.astype(f32)
+
+    def sel(surface_val: DS, apex_val: Array) -> DS:
+        return DS(
+            jnp.where(surf, surface_val.hi, jnp.where(apex, apex_val, 0.0)),
+            jnp.where(surf, surface_val.lo, 0.0),
+        )
+
+    b00 = sel(gx, one)
+    b01 = sel(gy, zero)
+    b02 = sel(ds.neg(mu_eff), zero)
+    b11 = DS(apex_f, zero)
+    b22 = DS(apex_f, zero)
+
+    r0 = np.arange(ncones) * 3
+    c0 = ls + np.arange(ncones) * 3
+    Rh = jnp.zeros((nc, n, B), f32)
+    Rl = jnp.zeros((nc, n, B), f32)
+    for (dr, dc), blk in (
+        ((0, 0), b00), ((0, 1), b01), ((0, 2), b02),
+        ((1, 1), b11), ((2, 2), b22),
+    ):
+        Rh = Rh.at[r0 + dr, c0 + dc].set(blk.hi)
+        Rl = Rl.at[r0 + dr, c0 + dc].set(blk.lo)
+    return DS(Rh, Rl)
+
+
+def _assemble_m2_f32(Qh: Array, A2h: Array, D: Array) -> Array:
+    """Batch-leading (B, N2, N2) f32 assembly of [[Q, A2'],[A2, -D]]."""
+    n, _, B = Qh.shape
+    m2 = A2h.shape[0]
+    N2 = n + m2
+    f32 = Qh.dtype
+    Qb = jnp.moveaxis(Qh, -1, 0)
+    A2b = jnp.moveaxis(A2h, -1, 0)
+    Db = jnp.moveaxis(D, -1, 0)
+    Mb = jnp.zeros((B, N2, N2), f32)
+    Mb = Mb.at[:, :n, :n].set(Qb)
+    Mb = Mb.at[:, :n, n:].set(jnp.swapaxes(A2b, -1, -2))
+    Mb = Mb.at[:, n:, :n].set(A2b)
+    Mb = Mb.at[:, n:, n:].set(
+        -Db[:, :, None] * jnp.eye(m2, dtype=f32)
+    )
+    return Mb
+
+
+def _ns_steps(X: Array, Mb: Array, steps: int) -> Array:
+    """Newton-Schulz refresh of an inverse seed against (an updated) M."""
+    N2 = Mb.shape[-1]
+    hi_p = jax.lax.Precision.HIGHEST
+    mm = lambda a, b: jnp.matmul(a, b, precision=hi_p)
+    eye2 = 2.0 * jnp.eye(N2, dtype=Mb.dtype)
+    for _ in range(steps):
+        X = mm(X, eye2 - mm(Mb, X))
+    return X
+
+
+def _polish_seed_f32(Mb: Array, ns_iters: int = 48) -> Array:
+    """f32 MXU inverse seed of ``M2 = [[Q, A2'],[A2, -D]]`` (batch-last
+    hi words in, batch-leading (B, N2, N2) seed out).
+
+    The polish KKT has NO rho regularization (Q alone is near-singular
+    on OSC data), so the explicit-Schur construction used for the ADMM
+    operator (`kkt_inverse_f32_seed`) is destroyed by cancellation here:
+    ``F = Hinv - W Sinv W'`` subtracts two O(1/delta) terms to get an
+    O(||M2^-1||) result, losing ~delta^-1 * eps_f32 absolute accuracy
+    (measured: residual ~1e3 at delta=1e-5). Instead this inverts the
+    full symmetric-indefinite M2 directly by Newton--Schulz with the
+    Frobenius-normalized transpose seed X0 = M2 / ||M2||_F^2 — valid for
+    indefinite symmetric matrices because the residual eigenvalues are
+    1 - lambda_i^2/||M||_F^2 in (0, 1) — which converges in
+    ~2 log2(||M||_F/sigma_min) + O(1) iterations and has NO cancellation
+    amplification: the f32 floor is ~eps * kappa(M2) (~1e-3 on Ruiz-
+    equilibrated OSC KKTs), exactly what the downstream ds refinement
+    needs. Singular M2 (degenerate active sets) leaves the residual at
+    ~1 and the instance is rejected by the acceptance test.
+    """
+    N2 = Mb.shape[-1]
+    f32 = Mb.dtype
+    hi_p = jax.lax.Precision.HIGHEST
+    mm = lambda a, b: jnp.matmul(a, b, precision=hi_p)
+
+    fro2 = jnp.sum(Mb * Mb, axis=(-1, -2))
+    X = Mb / jnp.maximum(fro2, 1e-30)[:, None, None]  # M symmetric
+    eye2 = 2.0 * jnp.eye(N2, dtype=f32)
+
+    def body(_, X):
+        return mm(X, eye2 - mm(Mb, X))
+
+    X = jax.lax.fori_loop(0, ns_iters, body, X)
+
+    if os.environ.get("FCCQP_POLISH_DEBUG"):
+        R = jnp.eye(N2, dtype=f32) - mm(Mb, X)
+        jax.debug.print(
+            "polish seed residual: {r}",
+            r=jnp.max(jnp.abs(R), axis=(-1, -2)),
+        )
+    return X
+
+
+def _solve_structured(
+    X32: Array, Q: DS, A2: DS, A2t: DS, D: Array,
+    r1: DS, r2: DS, passes: int = 3,
+) -> tuple[DS, DS]:
+    """Refined ds solve of [[Q, A2'],[A2, -D]] [x; y] = [r1; r2].
+
+    Applies the true KKT in structured block form (never materializes
+    the (N2, N2, B) ds matrix) and the f32 seed inverse on the MXU.
+    """
+    n = Q.hi.shape[0]
+    hi_p = jax.lax.Precision.HIGHEST
+
+    def apply32(t_hi: Array, b_hi: Array):
+        v = jnp.concatenate([t_hi, b_hi], axis=0)     # (N2, B)
+        out = jnp.matmul(
+            X32, jnp.moveaxis(v, -1, 0)[:, :, None], precision=hi_p
+        )[:, :, 0]
+        out = jnp.moveaxis(out, 0, -1)
+        return out[:n], out[n:]
+
+    def m2_apply(x: DS, y: DS):
+        top = ds.add(matvec_ds(Q, x), matvec_ds(A2, y))
+        bot = ds.sub(matvec_ds(A2t, x), ds.mul_f32(y, D))
+        return top, bot
+
+    xh, yh = apply32(r1.hi, r2.hi)
+    x, y = ds.from_f32(xh), ds.from_f32(yh)
+    for _ in range(passes):
+        tx, ty = m2_apply(x, y)
+        rx = ds.sub(r1, tx)
+        ry = ds.sub(r2, ty)
+        dxh, dyh = apply32(rx.hi, ry.hi)
+        x = ds.add(x, ds.from_f32(dxh))
+        y = ds.add(y, ds.from_f32(dyh))
+    return x, y
+
+
+def polish_reduced(
+    qps,                    # scaled QPBatchDS
+    shape,
+    ci: np.ndarray,         # (k,) constrained coordinate indices
+    kb: int,                # box-constrained count (cone tail follows)
+    s: DS,                  # (k, B) projected slack (scaled)
+    mu_dual: DS,            # (k, B) scaled ADMM duals (classification)
+    rho: Array,             # (B,) scaled-space penalty
+    wk: Array,              # (k, B) unscaling weights d[ci]
+    lbc: DS, ubc: DS,       # (kb, B) scaled bounds
+    e_scale: Array,         # (m, B) equality-row scales (unscale resid)
+    eps_bound: float,
+    eps_fcone: float,
+    act_tol: float,
+    newton_steps: int = 2,
+) -> PolishResult:
+    """Attempt an active-set polish of every instance in the batch.
+
+    See the module docstring for the algorithm. All inputs/outputs live
+    in the SCALED problem space; acceptance residuals are weighted back
+    to unscaled units (``wk``, ``e_scale``) so the eps contract matches
+    the plain ADMM path.
+    """
+    from fcc_qp_tpu.core.ds_engine import project_cone_ds
+
+    nv, nc, ls = shape.num_vars, shape.nc, shape.lambda_c_start
+    m = qps.A_eq.hi.shape[0]
+    B = s.hi.shape[-1]
+    f32 = s.hi.dtype
+    k = kb + nc
+    ncones = nc // 3 if nc else 0
+    p = kb + nc
+    mu_eff = qps.friction_coeffs
+
+    low, up, surf, apex = classify_active(
+        s, mu_dual, rho, lbc, ubc, mu_eff, kb, nc, wk, act_tol
+    )
+
+    # --- static box pin rows (kb, n, B) ---
+    if kb:
+        act_box = (low | up).astype(f32)
+        sel = np.zeros((kb, nv), np.float32)
+        sel[np.arange(kb), np.asarray(ci[:kb])] = 1.0
+        Rbox = DS(
+            jnp.asarray(sel)[:, :, None] * act_box[:, None, :],
+            jnp.zeros((kb, nv, B), f32),
+        )
+        rhs_box = ds.where(
+            low, lbc, ds.where(up, ubc, ds.zeros((kb, B), f32))
+        )
+    else:
+        act_box = jnp.zeros((0, B), f32)
+        Rbox = ds.zeros((0, nv, B), f32)
+        rhs_box = ds.zeros((0, B), f32)
+
+    if nc:
+        row_act = jnp.stack(
+            [surf | apex, apex, apex], axis=1
+        ).reshape(nc, B).astype(f32)
+    else:
+        row_act = jnp.zeros((0, B), f32)
+    act_rows = jnp.concatenate([act_box, row_act], axis=0)     # (p, B)
+    D = jnp.concatenate(
+        [jnp.zeros((m, B), f32), 1.0 - act_rows], axis=0
+    )                                                          # (m2, B)
+    r1 = ds.neg(qps.b)
+    r2_eq = qps.b_eq
+    rhs_cone = ds.zeros((nc, B), f32)  # homogeneous constraints
+    r2_tail = _concat0(rhs_box, rhs_cone)
+
+    if nc:
+        lam_lin = DS(
+            s.hi[kb:].reshape(ncones, 3, B),
+            s.lo[kb:].reshape(ncones, 3, B),
+        )
+        # initial surface-multiplier estimate from the ADMM duals:
+        # lambda = rho*mu ~ eta * grad g, so eta0 = rho <mu, grad g> /
+        # ||grad g||^2 with ||grad g||^2 = 1 + mu_f^2 on the surface
+        mu3 = mu_dual.hi[kb:].reshape(ncones, 3, B)
+        _, gx0, gy0 = _cone_geometry(lam_lin)
+        dot0 = (
+            mu3[:, 0] * gx0.hi + mu3[:, 1] * gy0.hi
+            - mu3[:, 2] * mu_eff.hi
+        )
+        eta = rho[None, :] * dot0 / (1.0 + mu_eff.hi * mu_eff.hi)
+    else:
+        lam_lin = None
+        eta = None
+
+    X32 = None
+    x = None
+    for step in range(newton_steps):
+        if nc:
+            Rcone = _cone_rows(lam_lin, mu_eff, surf, apex, nv, ls)
+            Q_aug = _curvature_augmented_q(
+                qps.Q, eta, lam_lin, mu_eff, surf, ls
+            )
+        else:
+            Rcone = ds.zeros((0, nv, B), f32)
+            Q_aug = qps.Q
+        A2 = _concat_rows(qps.A_eq, _concat_rows(Rbox, Rcone))
+        A2t = transpose_ds(A2)
+        Mb = _assemble_m2_f32(Q_aug.hi, A2.hi, D)
+        if X32 is None:
+            X32 = _polish_seed_f32(Mb)
+        else:
+            # rows/curvature moved slightly: Newton-Schulz steps
+            # re-polish the seed to the f32 floor against the
+            # re-linearized KKT (else refinement contraction degrades
+            # to the O(step) row change)
+            X32 = _ns_steps(X32, Mb, 2)
+        x, y = _solve_structured(
+            X32, Q_aug, A2, A2t, D,
+            r1, _concat0(r2_eq, r2_tail),
+        )
+        if nc and step + 1 < newton_steps:
+            lam_lin = DS(
+                x.hi[ls:ls + nc].reshape(ncones, 3, B),
+                x.lo[ls:ls + nc].reshape(ncones, 3, B),
+            )
+            eta = y.hi[m + kb:].reshape(ncones, 3, B)[:, 0]
+
+    # --- dual reconstruction: rho * mu = lambda at the ADMM fixed point
+    y_box = DS(y.hi[m:m + kb], y.lo[m:m + kb])
+    y_cone = DS(y.hi[m + kb:], y.lo[m + kb:])
+    if kb:
+        lam_box = ds.where(
+            (low | up), y_box, ds.zeros((kb, B), f32)
+        )
+    else:
+        lam_box = y_box
+    if nc:
+        lam_fin = DS(
+            x.hi[ls:ls + nc].reshape(ncones, 3, B),
+            x.lo[ls:ls + nc].reshape(ncones, 3, B),
+        )
+        _, gx, gy = _cone_geometry(lam_fin)
+        y3 = DS(
+            y_cone.hi.reshape(ncones, 3, B),
+            y_cone.lo.reshape(ncones, 3, B),
+        )
+        y0 = DS(y3.hi[:, 0], y3.lo[:, 0])
+
+        def cone_coord(i, gcomp: DS) -> DS:
+            yi = DS(y3.hi[:, i], y3.lo[:, i])
+            surf_val = ds.mul(y0, gcomp)
+            return ds.where(
+                surf, surf_val,
+                ds.where(apex, yi, ds.zeros((ncones, B), f32)),
+            )
+
+        lx = cone_coord(0, gx)
+        ly = cone_coord(1, gy)
+        lz = cone_coord(2, ds.neg(mu_eff))
+        lam_cone = DS(
+            jnp.stack([lx.hi, ly.hi, lz.hi], axis=1).reshape(nc, B),
+            jnp.stack([lx.lo, ly.lo, lz.lo], axis=1).reshape(nc, B),
+        )
+        lam_all = _concat0(lam_box, lam_cone)
+    else:
+        lam_all = lam_box
+    inv_rho = 1.0 / rho[None, :]
+    mu_new = ds.mul_f32(lam_all, inv_rho)
+
+    # --- self-validating acceptance: projection consistency at full eps
+    xc = DS(x.hi[np.asarray(ci)], x.lo[np.asarray(ci)])
+    t = ds.add(xc, mu_new)
+    parts = []
+    if kb:
+        parts.append(ds.clip(DS(t.hi[:kb], t.lo[:kb]), lbc, ubc))
+    if nc:
+        parts.append(
+            project_cone_ds(DS(t.hi[kb:], t.lo[kb:]), mu_eff)
+        )
+    s_new = parts[0] if len(parts) == 1 else _concat0(parts[0], parts[1])
+
+    res = ds.sub(xc, s_new)
+    wres = jnp.abs(res.hi) * wk
+    zeros_b = jnp.zeros((B,), f32)
+    x_res = jnp.max(wres[:kb], axis=0) if kb else zeros_b
+    lam_res = jnp.max(wres[kb:], axis=0) if nc else zeros_b
+
+    r_eq = ds.sub(matvec_ds(transpose_ds(qps.A_eq), x), qps.b_eq)
+    eq_res = (
+        jnp.max(jnp.abs(r_eq.hi) / e_scale, axis=0)
+        if m else zeros_b
+    )
+    finite = (
+        jnp.all(jnp.isfinite(x.hi), axis=0)
+        & jnp.all(jnp.isfinite(mu_new.hi), axis=0)
+    )
+    accept = (
+        (x_res < eps_bound)
+        & (lam_res < eps_fcone)
+        & (eq_res < eps_bound)
+        & finite
+    )
+    if os.environ.get("FCCQP_POLISH_DEBUG"):
+        jax.debug.print(
+            "polish: accept={a} x_res={x} lam_res={l} eq_res={e}",
+            a=accept, x=x_res, l=lam_res, e=eq_res,
+        )
+    if os.environ.get("FCCQP_POLISH_DEBUG_CONES") and nc:
+        lam_dbg = lam_fin
+        nxy_dbg = jnp.sqrt(
+            lam_dbg.hi[:, 0] ** 2 + lam_dbg.hi[:, 1] ** 2
+        )
+        g_dbg = nxy_dbg - mu_eff.hi * lam_dbg.hi[:, 2]
+        lin_dbg = (
+            _cone_geometry(lam_lin)[1].hi * lam_dbg.hi[:, 0]
+            + _cone_geometry(lam_lin)[2].hi * lam_dbg.hi[:, 1]
+            - mu_eff.hi * lam_dbg.hi[:, 2]
+        )
+        jax.debug.print(
+            "g(x_final)={g}  lin_row(x_final)={l}", g=g_dbg[:, 0],
+            l=lin_dbg[:, 0],
+        )
+        jax.debug.print(
+            "cones: surf={s} apex={a}\n s_tail={st}\n x_tail={xt}\n "
+            "mu_new={mn}\n wres_cone={wr}",
+            s=surf[:, 0], a=apex[:, 0],
+            st=s.hi[kb:, 0], xt=xc.hi[kb:, 0],
+            mn=mu_new.hi[kb:, 0], wr=wres[kb:, 0],
+        )
+    return PolishResult(
+        x=x, mu=mu_new, s=s_new, accept=accept, x_res=x_res,
+        lam_res=lam_res,
+    )
+
+
+def _concat0(a: DS, b: DS) -> DS:
+    return DS(
+        jnp.concatenate([a.hi, b.hi], axis=0),
+        jnp.concatenate([a.lo, b.lo], axis=0),
+    )
+
+
+def _concat_rows(a: DS, b: DS) -> DS:
+    return _concat0(a, b)

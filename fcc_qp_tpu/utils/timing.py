@@ -33,6 +33,23 @@ def sync(tree):
     return tree
 
 
+def stamp_solution_times(sol, solve_time: float, factor_time: float):
+    """Broadcast host-measured per-phase wall times into a solution's
+    details (batch-level: every instance in a batched program shares
+    the wall clock; parity fields `src/fcc_qp.hpp:22-23`)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    like = sol.details.admm_residual_bounds
+    det = dataclasses.replace(
+        sol.details,
+        solve_time=jnp.full_like(like, solve_time),
+        factorization_time=jnp.full_like(like, factor_time),
+    )
+    return type(sol)(details=det, z=sol.z)
+
+
 def timed(fn, *args, reps: int = 3, **kw):
     """Best-of-N wall time of `fn(*args)` with true synchronization.
 

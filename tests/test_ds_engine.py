@@ -176,6 +176,53 @@ class TestDsReplayAndSharding:
         ncold = np.asarray(cold.details.n_iter)
         assert n[1:].sum() < ncold[1:].sum()
 
+    def test_replay_streams_matches_per_stream_replay(self):
+        """Multi-stream warm replay == independent serial warm replay of
+        each stream (the reference loop semantics, fcc_qp_test.py:85-89)."""
+        from fcc_qp_tpu.core.ds_engine import (
+            replay_ds, replay_ds_streams, to_ds_batch,
+        )
+
+        T, S = 8, 2
+        steps = T // S
+        qps = generate_osc_sequence(CASSIE, T, seed=0)
+        bds = to_ds_batch(stack_qp_dicts(qps))
+        sols, ws = replay_ds_streams(bds, CASSIE.shape, FAST_OPTS, n_streams=S)
+        assert (np.asarray(sols.details.solve_status) == 0).all()
+        for s in range(S):
+            sub = jax.tree.map(
+                lambda a: a[..., steps * s : steps * (s + 1)], bds
+            )
+            ref, _ = replay_ds(sub, CASSIE.shape, FAST_OPTS)
+            zr = np.asarray(ref.z).reshape(steps, -1)
+            zg = np.asarray(sols.z)[steps * s : steps * (s + 1)]
+            np.testing.assert_allclose(zg, zr, atol=1e-8)
+            np.testing.assert_array_equal(
+                np.asarray(sols.details.n_iter)[steps * s : steps * (s + 1)],
+                np.asarray(ref.details.n_iter).ravel(),
+            )
+
+    def test_replay_streams_warm_cuts_iterations(self):
+        from fcc_qp_tpu.core.ds_engine import replay_ds_streams, to_ds_batch
+
+        T, S = 12, 2
+        qps = generate_osc_sequence(CASSIE, T, seed=0)
+        bds = to_ds_batch(stack_qp_dicts(qps))
+        sols, _ = replay_ds_streams(bds, CASSIE.shape, FAST_OPTS, n_streams=S)
+        n = np.asarray(sols.details.n_iter)
+        cold, _ = solve_batched_ds(bds, CASSIE.shape, FAST_OPTS)
+        ncold = np.asarray(cold.details.n_iter)
+        steps = T // S
+        warm_mask = np.arange(T) % steps != 0
+        assert n[warm_mask].sum() < ncold[warm_mask].sum()
+        # degenerate single-step case: equals the plain cold batch
+        sols1, _ = replay_ds_streams(
+            bds, CASSIE.shape, FAST_OPTS, n_streams=T
+        )
+        np.testing.assert_allclose(
+            np.asarray(sols1.z), np.asarray(cold.z), atol=0
+        )
+
     def test_sharded_reduced_equals_unsharded(self):
         from fcc_qp_tpu.core.ds_engine import solve_batched_ds, to_ds_batch
         from fcc_qp_tpu.models.osc import generate_osc_batch
