@@ -243,6 +243,9 @@ class FCCQP:
                 np.asarray(d.friction_cone_viol).reshape(-1)[0]
             ),
             solve_status=int(np.asarray(d.solve_status).reshape(-1)[0]),
+            equality_viol=float(
+                np.asarray(d.equality_viol).reshape(-1)[0]
+            ),
         )
         if self._z_host is not None:
             z = self._z_host

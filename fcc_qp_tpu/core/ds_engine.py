@@ -254,7 +254,7 @@ def _factor_reduced_hybrid(
     rho_diag = rho[None, :] * jnp.asarray(mask, qp.Q.hi.dtype)[:, None]
     M = assemble_kkt_ds(qp.Q, qp.A_eq, rho_diag)
     with jax.default_matmul_precision("highest"):
-        X32 = kkt_inverse_f32_seed(qp.Q, qp.A_eq, rho_diag)
+        X32, seed_res = kkt_inverse_f32_seed(qp.Q, qp.A_eq, rho_diag)
     C = refine_inverse_columns_ds(X32, M, ci, passes=passes)  # (N, k, B)
     # C[:, j] = M^{-1}[:, ci_j]; the loop needs F[:, ci] j-major over k
     Fci = DS(C.hi[:n], C.lo[:n])               # (n, k, B) = F[:, ci]
@@ -268,7 +268,26 @@ def _factor_reduced_hybrid(
     xfull = solve_from_seed_ds(X32, M, r, passes=passes)
     x_const = DS(xfull.hi[:n], xfull.lo[:n])
     xc_const = _gather0(x_const, ci)
-    return Fcc, xc_const, Fcolj, x_const
+    hyb = (Fcc, xc_const, Fcolj, x_const)
+
+    # instances whose seed did not contract (||I - X M|| too large for
+    # the downstream thin refinement to converge) are re-factorized on
+    # the all-ds Schur route and selected per instance. lax.cond keeps
+    # the fallback free on healthy batches (the common case).
+    bad = seed_res > 0.5
+
+    def _sel(d_out: DS, h_out: DS) -> DS:
+        m = bad.reshape((1,) * (d_out.hi.ndim - 1) + (-1,))
+        return ds.where(m, d_out, h_out)
+
+    def _with_fallback(hyb_in):
+        ds_out = _factor_reduced(qp, rho, ci, mask, max(passes - 1, 1))
+        return tuple(_sel(d_o, h_o) for d_o, h_o in zip(ds_out, hyb_in))
+
+    def _passthrough(hyb_in):
+        return tuple(hyb_in)
+
+    return jax.lax.cond(jnp.any(bad), _with_fallback, _passthrough, hyb)
 
 
 def constrained_indices(
@@ -300,6 +319,70 @@ def constrained_indices(
     finite = np.isfinite(lb).any(axis=-1) | np.isfinite(ub).any(axis=-1)
     finite[ls : ls + nc] = False
     return tuple(int(i) for i in np.where(finite)[0]) + cone
+
+
+def _eq_residual_inf(qp: QPBatchDS, x: DS) -> Array:
+    """``max_i |A_eq x - b_eq|`` per instance in UNSCALED units (ds
+    matvec, hi word out) — the observability hook for factorization
+    failure: the reference's LDLT primal is equality-consistent by
+    construction (`fcc_qp.cpp:86-87`), ours comes from a refined inverse
+    operator, so a non-contracting refinement shows up here and nowhere
+    else."""
+    B = qp.batch
+    if qp.A_eq.hi.shape[0] == 0:
+        return jnp.zeros((B,), qp.Q.hi.dtype)
+    r = ds.sub(matvec_ds(transpose_ds(qp.A_eq), x), qp.b_eq)
+    return jnp.max(jnp.abs(r.hi), axis=0)
+
+
+def pad_batch_last(tree, multiple: int):
+    """Pad the TRAILING (batch) axis of every leaf up to a multiple by
+    replicating the last instance; returns (padded_tree, original_B).
+    The batch-last analog of `parallel.mesh.pad_batch`."""
+    leaves = jax.tree.leaves(tree)
+    b = leaves[0].shape[-1]
+    pad = (-b) % multiple
+    if pad == 0:
+        return tree, b
+
+    def _pad(a):
+        widths = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
+        return jnp.pad(a, widths, mode="edge")
+
+    return jax.tree.map(_pad, tree), b
+
+
+def _unpad_solution(sol: FCCQPSolution, ws: WarmStartDS, b0: int):
+    """Strip batch padding: solution is batch-LEADING, warm state
+    batch-LAST."""
+    sol = FCCQPSolution(
+        details=jax.tree.map(lambda a: a[:b0], sol.details),
+        z=sol.z[:b0],
+    )
+    ws = jax.tree.map(lambda a: a[..., :b0], ws)
+    return sol, ws
+
+
+def _status_checked(n_iter, max_iter: int, eq_viol: Array, qp: QPBatchDS):
+    """Per-instance solve status with the factorization-failure check:
+    an equality-infeasible primal (relative inf-norm residual above
+    1e-3) can only come from a broken factorization chain, never from
+    unconverged ADMM (the primal update is equality-consistent by
+    construction), so it is reported as kFactorizationFailed rather
+    than letting a garbage solution read kSuccess."""
+    status = jnp.where(
+        n_iter == max_iter,
+        jnp.int32(FCCQPSolveStatus.kMaxIterations),
+        jnp.int32(FCCQPSolveStatus.kSuccess),
+    )
+    if qp.A_eq.hi.shape[0] == 0:
+        return status
+    thresh = 1e-3 * (1.0 + jnp.max(jnp.abs(qp.b_eq.hi), axis=0))
+    return jnp.where(
+        eq_viol > thresh,
+        jnp.int32(FCCQPSolveStatus.kFactorizationFailed),
+        status,
+    )
 
 
 def _stamp_times(sol: FCCQPSolution, solve_time: float, factor_time: float):
@@ -343,7 +426,19 @@ def solve_batched_ds(
     """
     if use_pallas:
         assert opts.alpha == 1.0, "pallas path supports alpha=1.0 only"
-        assert qp.batch % 128 == 0, "pallas path requires batch % 128 == 0"
+        if qp.batch % 128 != 0:
+            # auto-pad to the Pallas lane tile (replicating the last
+            # instance), solve, and strip the padding on return
+            qp_p, b0 = pad_batch_last(qp, 128)
+            warm_p = (
+                pad_batch_last(warm, 128)[0] if warm is not None else None
+            )
+            sol, ws = solve_batched_ds(
+                qp_p, shape, opts, warm=warm_p, warm_start=warm_start,
+                use_pallas=True, pallas_interpret=pallas_interpret,
+                con_idx=con_idx, timing=timing,
+            )
+            return _unpad_solution(sol, ws, b0)
     reduced = (
         opts.scaling
         or opts.splitting == "constrained"
@@ -673,6 +768,7 @@ def _iterate_full(
 
     # batch-leading outputs; z reconstructed to f64 when x64 is on
     z = jnp.swapaxes(ds.to_f64(x), 0, 1)
+    eq_viol = _eq_residual_inf(qp, x)
     details = FCCQPDetails(
         n_iter=n_iter,
         admm_residual_bounds=xrn,
@@ -681,11 +777,8 @@ def _iterate_full(
         factorization_time=zeros_b,
         bounds_viol=bounds_viol,
         friction_cone_viol=fcone_viol,
-        solve_status=jnp.where(
-            n_iter == opts.max_iter,
-            jnp.int32(FCCQPSolveStatus.kMaxIterations),
-            jnp.int32(FCCQPSolveStatus.kSuccess),
-        ),
+        solve_status=_status_checked(n_iter, opts.max_iter, eq_viol, qp),
+        equality_viol=eq_viol,
     )
     sol = FCCQPSolution(details=details, z=z)
     new_warm = WarmStartDS(
@@ -771,9 +864,20 @@ class _PrepReduced(NamedTuple):
 
 
 def _scale_reduced(qp, shape, opts):
-    """Ruiz-equilibrate (or pass through) the batch."""
+    """Ruiz-equilibrate (or pass through) the batch.
+
+    Equilibration is FORCED whenever ``splitting == 'constrained'``,
+    regardless of ``opts.scaling``: removing rho from the free
+    coordinates leaves the KKT (1,1) block near-singular on
+    rank-deficient OSC Hessians, and on unequilibrated data the
+    factorization refinement does not contract — the solve then returns
+    kSuccess with a grossly equality-infeasible primal (the projection-
+    consistency convergence test cannot see equality residuals). On
+    equilibrated data the refinement contracts and the failure mode is
+    gone; `details.equality_viol` reports the residual either way.
+    """
     f32 = qp.Q.hi.dtype
-    if opts.scaling:
+    if opts.scaling or opts.splitting == "constrained":
         sc = ruiz_scaling(
             qp.Q.hi, qp.A_eq.hi, qp.b.hi, shape, iters=opts.scaling_iters
         )
@@ -876,15 +980,18 @@ def _solve_reduced_k0(qp, shape, opts):
     x_s = kkt_solve_refined_ds(qps.Q, qps.A_eq, ds.neg(qps.b), qps.b_eq)
     x = ds.mul_f32(x_s, sc.d)
     z = jnp.swapaxes(ds.to_f64(x), 0, 1)
+    eq_viol = _eq_residual_inf(qp, x)
+    n_iter0 = jnp.zeros((B,), jnp.int32)
     details = FCCQPDetails(
-        n_iter=jnp.zeros((B,), jnp.int32),
+        n_iter=n_iter0,
         admm_residual_bounds=zeros_b,
         admm_residual_friction_cone=zeros_b,
         solve_time=zeros_b,
         factorization_time=zeros_b,
         bounds_viol=zeros_b,
         friction_cone_viol=zeros_b,
-        solve_status=jnp.zeros((B,), jnp.int32),
+        solve_status=_status_checked(n_iter0, opts.max_iter, eq_viol, qp),
+        equality_viol=eq_viol,
     )
     new_warm = WarmStartDS(
         x=x, mu_x=ds.zeros((nv, B), f32), mu_lambda_c=ds.zeros((0, B), f32),
@@ -1339,6 +1446,7 @@ def _iterate_reduced(
         fcone_viol = zeros_b
 
     z = jnp.swapaxes(ds.to_f64(x), 0, 1)
+    eq_viol = _eq_residual_inf(qp, x)
     details = FCCQPDetails(
         n_iter=n_iter,
         admm_residual_bounds=xrn,
@@ -1347,11 +1455,8 @@ def _iterate_reduced(
         factorization_time=zeros_b,
         bounds_viol=bounds_viol,
         friction_cone_viol=fcone_viol,
-        solve_status=jnp.where(
-            n_iter == opts.max_iter,
-            jnp.int32(FCCQPSolveStatus.kMaxIterations),
-            jnp.int32(FCCQPSolveStatus.kSuccess),
-        ),
+        solve_status=_status_checked(n_iter, opts.max_iter, eq_viol, qp),
+        equality_viol=eq_viol,
     )
 
     # warm-start pytree: full-space, UNSCALED (portable across solves

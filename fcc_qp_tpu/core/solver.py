@@ -174,7 +174,17 @@ def _details(
     nc, ls = shape.nc, shape.lambda_c_start
     lam = jax.lax.slice_in_dim(x, ls, ls + nc, axis=-1)
     dtype = x.dtype
+    if qp.A_eq.shape[-2]:
+        eq_viol = jnp.max(
+            jnp.abs(
+                jnp.einsum("...mn,...n->...m", qp.A_eq, x) - qp.b_eq
+            ),
+            axis=-1,
+        )
+    else:
+        eq_viol = jnp.zeros(x.shape[:-1], dtype)
     return FCCQPDetails(
+        equality_viol=eq_viol,
         n_iter=n_iter,
         admm_residual_bounds=x_res_norm,
         admm_residual_friction_cone=lam_res_norm,

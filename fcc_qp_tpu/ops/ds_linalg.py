@@ -206,23 +206,48 @@ def transpose_ds(X: DS) -> DS:
     return DS(jnp.swapaxes(X.hi, 0, 1), jnp.swapaxes(X.lo, 0, 1))
 
 
-def chol_regularized_ds(H: DS, delta_levels=(0.0, 1e-6, 1e-4, 1e-2)) -> DS:
+def chol_regularized_ds(
+    H: DS,
+    delta_levels=(0.0, 1e-10, 1e-8, 1e-6, 1e-4, 1e-2),
+    return_shifted: bool = False,
+):
     """ds Cholesky with escalating relative diagonal shifts — the ds
     analog of `ops.kkt._chol_or_regularized` (reference COD fallback,
     `fcc_qp.cpp:163-177`). The final level ``2n`` makes the shifted
     matrix strictly diagonally dominant (Gershgorin), so a factor always
-    exists: finite output, degradation surfaced via violation metrics."""
+    exists: finite output, degradation surfaced via violation metrics.
+
+    Detection is PIVOT-BASED, not just finiteness: an exactly singular
+    H (e.g. the Schur complement of a rank-deficient A_eq with
+    duplicated rows) has trailing pivots at roundoff level with ~50%
+    sign probability — a positive roundoff pivot yields a finite factor
+    of effectively infinite condition that silently destroys every
+    downstream solve. Such instances are flagged and re-factored with a
+    shift; the caller's refinement-vs-true-KKT then heals the O(shift)
+    error on the range space."""
     n = H.hi.shape[0]
     B = H.hi.shape[-1]
     f32 = H.hi.dtype
     scale = jnp.maximum(jnp.max(jnp.abs(H.hi), axis=(0, 1)), 1.0)  # (B,)
+    # smallest acceptable pivot^2 relative to scale: ds effective eps is
+    # ~2^-48; pivots of a genuinely PD H sit at >= lambda_min >> this,
+    # while singular instances land at roundoff (~n * eps_ds * scale)
+    pivot_floor = (1e-11 * scale).astype(f32)
+
+    def _ok(Lc: DS) -> Array:
+        dg = jnp.diagonal(Lc.hi, axis1=0, axis2=1)  # (B, n)
+        return (
+            jnp.all(jnp.isfinite(Lc.hi), axis=(0, 1))
+            & jnp.all(jnp.isfinite(Lc.lo), axis=(0, 1))
+            & jnp.all(dg * dg > pivot_floor[:, None], axis=1)
+        )
 
     L = cholesky_ds(H)
+    shifted = jnp.zeros((B,), jnp.bool_)
     for delta in tuple(delta_levels[1:]) + (2.0 * n,):
-        ok = jnp.all(jnp.isfinite(L.hi), axis=(0, 1)) & jnp.all(
-            jnp.isfinite(L.lo), axis=(0, 1)
-        )
+        ok = _ok(L)
         need = ~ok
+        shifted = shifted | need
 
         def retry(_):
             shift = jnp.where(need, delta * scale, jnp.zeros_like(scale))
@@ -230,6 +255,8 @@ def chol_regularized_ds(H: DS, delta_levels=(0.0, 1e-6, 1e-4, 1e-2)) -> DS:
             return ds.where(need[None, None, :], L2, L)
 
         L = jax.lax.cond(jnp.any(need), retry, lambda _: L, operand=None)
+    if return_shifted:
+        return L, shifted
     return L
 
 
@@ -342,12 +369,21 @@ def assemble_kkt_ds(Q: DS, A: DS, rho: Array) -> DS:
 
 
 def newton_schulz_refine_ds(X: DS, M: DS, steps: int = 1) -> DS:
-    """Refine an approximate inverse X of M: X <- X + X (I - M X).
+    """Refine an approximate inverse X0 of M with a FIXED
+    preconditioner: X <- X + X0 (I - M X).
 
-    One step squares the relative error, scrubbing the conditioning
-    amplification the explicit Schur-complement factorization suffers
-    when kappa(S) >> kappa(KKT) (e.g. OSC problems where kappa(Q)~1e8
-    but kappa(KKT)~1e5). Cost: 2 ds matmuls of the KKT size per step.
+    Step 1 is identical to a Newton-Schulz step and squares the relative
+    error, scrubbing the conditioning amplification the explicit
+    Schur-complement factorization suffers when kappa(S) >> kappa(KKT)
+    (e.g. OSC problems where kappa(Q)~1e8 but kappa(KKT)~1e5); further
+    steps contract geometrically at ratio ||I - X0 M||. The fixed
+    preconditioner matters for SINGULAR M (rank-deficient A_eq,
+    reference COD territory `fcc_qp.cpp:163-177`): the residual operator
+    has eigenvalue exactly 1 on null(M), which true Newton-Schulz
+    (X <- X(2I - MX)) amplifies EXPONENTIALLY; with X0 fixed the null
+    component grows only linearly and stays confined to the dual-dual
+    block, which the extracted primal rows (F, G) never read. Cost: 2 ds
+    matmuls of the KKT size per step.
     """
     N = M.hi.shape[0]
     f32 = M.hi.dtype
@@ -355,9 +391,10 @@ def newton_schulz_refine_ds(X: DS, M: DS, steps: int = 1) -> DS:
         jnp.broadcast_to(jnp.eye(N, dtype=f32)[:, :, None], M.hi.shape).astype(f32),
         jnp.zeros_like(M.hi),
     )
+    X0 = X
     for _ in range(steps):
         R = ds.sub(eyeN, matmul_ds(M, X))
-        X = ds.add(X, matmul_ds(X, R))
+        X = ds.add(X, matmul_ds(X0, R))
     return X
 
 
@@ -377,7 +414,7 @@ def kkt_inverse_blocks_refined_ds(
 
     eye = jnp.eye(n, dtype=f32)[:, :, None]
     H = ds.add(Q, DS(_rho_diag_mat(rho, n, f32), jnp.zeros_like(Q.hi)))
-    L = chol_regularized_ds(H)
+    L, sh_H = chol_regularized_ds(H, return_shifted=True)
     At = transpose_ds(A)
     rhs = DS(
         jnp.concatenate(
@@ -391,7 +428,7 @@ def kkt_inverse_blocks_refined_ds(
     Hinv = DS(Z.hi[:, m:], Z.lo[:, m:])
 
     S = matmul_ds(A, W)
-    Ls = chol_regularized_ds(S)
+    Ls, sh_S = chol_regularized_ds(S, return_shifted=True)
     Yt = tri_solve_lower_ds(Ls, transpose_ds(W))
     T = tri_solve_upper_ds(Ls, Yt)  # (m, n, B) = S^{-1} W^T
     # E = -S^{-1}
@@ -424,6 +461,18 @@ def kkt_inverse_blocks_refined_ds(
         X = DS(X_hi, X_lo)
         M = assemble_kkt_ds(Q, A, rho)
         X = newton_schulz_refine_ds(X, M, refine_steps)
+        # singular-input rescue (rank-deficient A_eq / rho-free singular
+        # (1,1) block — the reference's COD territory): a shifted factor
+        # starts with range-space residual ~shift/lambda_plus, which the
+        # standard 1-step refinement cannot fully contract. Run extra
+        # Richardson passes only when some instance actually took a
+        # shift (lax.cond: free on healthy batches).
+        X = jax.lax.cond(
+            jnp.any(sh_H | sh_S),
+            lambda Xc: newton_schulz_refine_ds(Xc, M, 6),
+            lambda Xc: Xc,
+            X,
+        )
         F = DS(X.hi[:n, :n], X.lo[:n, :n])
         G = DS(X.hi[:n, n:], X.lo[:n, n:])
     return F, G
@@ -553,10 +602,15 @@ def spd_inverse_ns_f32(H: Array, iters: int = 30) -> Array:
     return jax.lax.fori_loop(0, iters, body, X)
 
 
-def kkt_inverse_f32_seed(Q: DS, A: DS, rho: Array, delta: float = 1e-2) -> Array:
+def kkt_inverse_f32_seed(Q: DS, A: DS, rho: Array, delta: float = 1e-2):
     """f32 inverse SEED for the KKT [[Q+diag(rho), A'],[A,0]].
 
-    Batch-last ds inputs; returns the full (N, N, B) f32 inverse of a
+    Returns ``(X, resid)`` — the seed and a per-instance ``(B,)``
+    inf-norm estimate of ``I - X M`` against the TRUE KKT, so callers
+    can detect instances where the Newton-Schulz polish failed to
+    contract and route them to a robust fallback.
+
+    Batch-last ds inputs; X is the full (N, N, B) f32 inverse of a
     DELTA-REGULARIZED KKT — [[H + delta*I, A'],[A, 0]] — NOT of the true
     system: the (1,1) block H alone can be near-singular even when the
     full KKT is well-conditioned (rank-deficient task Hessians are the
@@ -605,17 +659,39 @@ def kkt_inverse_f32_seed(Q: DS, A: DS, rho: Array, delta: float = 1e-2) -> Array
     # polish the delta away against the TRUE (unregularized) f32 KKT:
     # each full Newton-Schulz step squares ||I - X M|| (~delta*||M^-1||
     # from the regularization) down to the f32 floor — two MXU matmuls
-    # of (B, N, N) per step
+    # of (B, N, N) per step. GUARDED: when delta*||M^-1|| >= 1
+    # (ill-conditioned/unequilibrated KKT) the NS residual squares UP
+    # instead of down, so each step keeps the best-residual iterate
+    # per instance (monotone non-increasing), and the final residual is
+    # returned so callers can detect a non-contracting seed and fall
+    # back (the hybrid factorization routes those instances through the
+    # all-ds Schur factorization).
     N = n + m
     Mb = jnp.zeros((B, N, N), f32)
     Mb = Mb.at[:, :n, :n].set(Qb + dvec[:, :, None] * eye_n)
     Mb = Mb.at[:, :n, n:].set(At)
     Mb = Mb.at[:, n:, :n].set(Ab)
-    eye2N = 2.0 * jnp.eye(N, dtype=f32)
-    for _ in range(3):
-        X = mm(X, eye2N - mm(Mb, X))
+    eyeN = jnp.eye(N, dtype=f32)
+    eye2N = 2.0 * eyeN
 
-    return jnp.moveaxis(X, 0, -1)               # (N, N, B)
+    def resid_inf(P):
+        # ||I - X M||_inf estimated from the (already needed) product
+        # P = M X; NaN/inf-safe: non-finite products report inf.
+        r = jnp.max(jnp.sum(jnp.abs(P - eyeN), axis=-1), axis=-1)  # (B,)
+        return jnp.where(jnp.isfinite(r), r, jnp.inf)
+
+    P = mm(Mb, X)
+    r_best = resid_inf(P)
+    X_best = X
+    for _ in range(3):
+        X = mm(X, eye2N - P)
+        P = mm(Mb, X)
+        r = resid_inf(P)
+        better = r < r_best
+        X_best = jnp.where(better[:, None, None], X, X_best)
+        r_best = jnp.minimum(r, r_best)
+
+    return jnp.moveaxis(X_best, 0, -1), r_best  # (N, N, B), (B,)
 
 
 def refine_inverse_columns_ds(

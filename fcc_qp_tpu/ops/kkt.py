@@ -58,7 +58,9 @@ def assemble_kkt(Q: Array, A_eq: Array, rho) -> Array:
     return jnp.concatenate([top, bot], axis=-2)
 
 
-def _chol_or_regularized(M: Array, delta: float | None = None) -> Array:
+def _chol_or_regularized(
+    M: Array, delta: float | None = None, return_shifted: bool = False
+):
     """Cholesky factor of M, escalating Tikhonov shifts until it exists.
 
     The TPU analog of the reference's LDLT -> COD retry
@@ -76,9 +78,17 @@ def _chol_or_regularized(M: Array, delta: float | None = None) -> Array:
         [0.0, 1e2, 1e5, 1e8], dtype=M.dtype
     )
     eye = jnp.eye(n, dtype=M.dtype)
+    # pivot-based singularity detection: an EXACTLY singular M (e.g.
+    # Schur complement of a rank-deficient A_eq) produces trailing
+    # Cholesky pivots at roundoff level with ~50% sign probability — a
+    # positive one returns a finite factor of effectively infinite
+    # condition. Flag pivots below ~1e3*eps relative so those instances
+    # escalate to a shifted (COD-analog) factorization instead.
+    pivot_floor = 1e3 * eps * scale
 
     def ok(L):
-        return jnp.all(jnp.isfinite(L))
+        dg = jnp.diagonal(L, axis1=-2, axis2=-1)
+        return jnp.all(jnp.isfinite(L)) & jnp.all(dg * dg > pivot_floor)
 
     def cond(state):
         k, L = state
@@ -91,10 +101,15 @@ def _chol_or_regularized(M: Array, delta: float | None = None) -> Array:
         return k + 1, jnp.where(ok(L), L, Lk)
 
     init = (jnp.int32(0), jnp.full_like(M, jnp.nan))
-    _, L = jax.lax.while_loop(cond, body, init)
+    k, L = jax.lax.while_loop(cond, body, init)
     # all attempts failed (pathological input): zeros rather than NaN so
     # downstream stays finite and violations surface in the details.
-    return jnp.where(ok(L), L, jnp.zeros_like(L))
+    final_ok = ok(L)
+    L = jnp.where(final_ok, L, jnp.zeros_like(L))
+    if return_shifted:
+        # k == 1 means the first (zero-shift) attempt succeeded
+        return L, (k > 1) | ~final_ok
+    return L
 
 
 def kkt_factor_blocks(
@@ -107,20 +122,44 @@ def kkt_factor_blocks(
     Cholesky / triangular-solve / matmul, f64-safe on TPU.
     """
     n = Q.shape[-1]
+    m = A_eq.shape[-2]
     dtype = Q.dtype
     H = Q + rho * jnp.eye(n, dtype=dtype)
-    L_H = _chol_or_regularized(H, delta)
+    L_H, sh_H = _chol_or_regularized(H, delta, return_shifted=True)
     At = jnp.swapaxes(A_eq, -1, -2)
     # W = H^{-1} A^T  and  Hinv = H^{-1}
     W = cho_solve((L_H, True), At)
     S = A_eq @ W
-    L_S = _chol_or_regularized(S, delta)
+    L_S, sh_S = _chol_or_regularized(S, delta, return_shifted=True)
     # T = S^{-1} W^T  (ne x nv)
     T = cho_solve((L_S, True), jnp.swapaxes(W, -1, -2))
     Hinv = cho_solve((L_H, True), jnp.eye(n, dtype=dtype))
     F = Hinv - W @ T
     G = jnp.swapaxes(T, -1, -2)
-    return F, G
+
+    def _rescue(FG):
+        # a shift was taken (singular H or S: rank-deficient A_eq, the
+        # reference's COD fallback territory, `fcc_qp.cpp:163-177`):
+        # the shifted inverse has range-space residual ~shift/lambda+.
+        # Fixed-preconditioner Richardson refinement against the TRUE
+        # KKT contracts it geometrically; the (bounded-growth) null-
+        # space garbage stays in the dual-dual block, which F and G
+        # never read.
+        F0, G0 = FG
+        Sinv = cho_solve((L_S, True), jnp.eye(m, dtype=dtype))
+        top = jnp.concatenate([F0, G0], axis=-1)
+        bot = jnp.concatenate([T, -Sinv], axis=-1)
+        X0 = jnp.concatenate([top, bot], axis=-2)
+        M = assemble_kkt(Q, A_eq, rho)
+        eyeN = jnp.eye(n + m, dtype=dtype)
+        X = X0
+        for _ in range(4):
+            X = X + X0 @ (eyeN - M @ X)
+        return X[..., :n, :n], X[..., :n, n:]
+
+    return jax.lax.cond(
+        jnp.any(sh_H | sh_S), _rescue, lambda FG: FG, (F, G)
+    )
 
 
 def kkt_solve(
@@ -134,15 +173,37 @@ def kkt_solve(
     n = Q.shape[-1]
     dtype = Q.dtype
     H = Q + rho * jnp.eye(n, dtype=dtype)
-    L_H = _chol_or_regularized(H, delta)
+    L_H, sh_H = _chol_or_regularized(H, delta, return_shifted=True)
     At = jnp.swapaxes(A_eq, -1, -2)
     W = cho_solve((L_H, True), At)
     S = A_eq @ W
-    L_S = _chol_or_regularized(S, delta)
-    u = cho_solve((L_H, True), r[..., None])[..., 0]
-    rhs_y = jnp.einsum("...ij,...j->...i", A_eq, u) - s
-    y = cho_solve((L_S, True), rhs_y[..., None])[..., 0]
-    return u - jnp.einsum("...ij,...j->...i", W, y)
+    L_S, sh_S = _chol_or_regularized(S, delta, return_shifted=True)
+
+    mv = lambda M_, v_: jnp.einsum("...ij,...j->...i", M_, v_)
+
+    def solve_once(rv, sv):
+        u = cho_solve((L_H, True), rv[..., None])[..., 0]
+        y = cho_solve((L_S, True), (mv(A_eq, u) - sv)[..., None])[..., 0]
+        return u - mv(W, y), y
+
+    x, y = solve_once(r, s)
+
+    def _rescue(xy):
+        # shifted factor (singular H/S, see kkt_factor_blocks._rescue):
+        # vector iterative refinement against the TRUE KKT — consistent
+        # RHS, so the range-space error contracts geometrically
+        xv, yv = xy
+        for _ in range(4):
+            rr = r - (mv(H, xv) + mv(At, yv))
+            rs = s - mv(A_eq, xv)
+            dx, dy = solve_once(rr, rs)
+            xv, yv = xv + dx, yv + dy
+        return xv, yv
+
+    x, y = jax.lax.cond(
+        jnp.any(sh_H | sh_S), _rescue, lambda xy: xy, (x, y)
+    )
+    return x
 
 
 def admm_operator(

@@ -169,16 +169,30 @@ def solve_batched_ds_sharded(
     use_pallas: bool = False,
 ):
     """Sharded ds-precision batched solve: the pod-scale performance
-    path. Batch (trailing axis) must divide the mesh size.
+    path. Uneven batches are auto-padded (replicated last instance) up
+    to the mesh size — and to the 128-lane Pallas tile when
+    ``use_pallas`` — then stripped on return.
 
-    Returns (solution, warm, summary) like `solve_batched_sharded`.
+    Returns (solution, warm, summary) like `solve_batched_sharded`;
+    the summary is computed AFTER stripping so padding never pollutes
+    the aggregates.
     """
-    from fcc_qp_tpu.core.ds_engine import solve_batched_ds
+    import math
+
+    from fcc_qp_tpu.core.ds_engine import (
+        _unpad_solution,
+        pad_batch_last,
+        solve_batched_ds,
+    )
 
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
-    B = qp.batch
-    assert B % n_dev == 0, f"ds batch {B} must divide mesh size {n_dev}"
+    mult = (
+        n_dev * 128 // math.gcd(n_dev, 128) if use_pallas else n_dev
+    )
+    qp, b0 = pad_batch_last(qp, mult)
+    if warm is not None:
+        warm, _ = pad_batch_last(warm, mult)
 
     qp = shard_batch_last_tree(qp, mesh)
     if warm is not None:
@@ -188,4 +202,5 @@ def solve_batched_ds_sharded(
         qp, shape, opts, warm=warm, warm_start=warm_start,
         use_pallas=use_pallas,
     )
+    sol, ws = _unpad_solution(sol, ws, b0)
     return sol, ws, summarize(sol)

@@ -28,6 +28,13 @@ from jax import Array
 class FCCQPSolveStatus(enum.IntEnum):
     kSuccess = 0
     kMaxIterations = 1
+    # Extension beyond the reference enum (`src/fcc_qp.hpp:14-17`): the
+    # reference substitutes a rank-revealing COD factorization when LDLT
+    # fails (`fcc_qp.cpp:163-177`) and so always returns *some* KKT-
+    # consistent primal; our batched factorization chain instead flags
+    # instances whose final primal is equality-infeasible (see
+    # `FCCQPDetails.equality_viol`) so garbage can never read kSuccess.
+    kFactorizationFailed = 2
 
 
 def _pytree_dataclass(cls):
@@ -94,6 +101,14 @@ class FCCQPDetails:
     bounds_viol: Array
     friction_cone_viol: Array
     solve_status: Array  # int32; values from FCCQPSolveStatus
+    # Extension beyond the reference struct: ``max_i |A_eq x - b_eq|_i``
+    # in unscaled units. The reference never reports equality residuals
+    # (its LDLT back-substitution makes the primal exactly
+    # KKT-consistent by construction); here the primal comes from an
+    # iteratively refined inverse operator, so a failed/non-contracting
+    # factorization would otherwise be silent — this field makes
+    # equality infeasibility observable per instance.
+    equality_viol: Array = 0.0
 
     # Aliases matching the reference's Python binding names
     # (`src/main.cpp:24-25`).

@@ -99,8 +99,18 @@ class OracleFCCQP:
         if not eq_constrained:
             M_kkt = M_pre.copy()
             M_kkt[:nv, :nv] += self.rho * np.eye(nv)
-            # factorize once per solve (mirrors the per-solve LDLT)
-            Minv = np.linalg.inv(M_kkt)
+            # factorize once per solve (mirrors the per-solve LDLT);
+            # rank-deficient A_eq makes M_kkt exactly singular — fall
+            # back to the pseudoinverse, the analog of the reference's
+            # COD fallback (fcc_qp.cpp:163-177)
+            try:
+                Minv = np.linalg.inv(M_kkt)
+                if not np.all(np.isfinite(Minv)) or (
+                    np.linalg.norm(M_kkt @ Minv - np.eye(N)) > 1e-6 * N
+                ):
+                    raise np.linalg.LinAlgError
+            except np.linalg.LinAlgError:
+                Minv = np.linalg.pinv(M_kkt)
 
             x = self.x.copy()
             x_bar = x.copy()

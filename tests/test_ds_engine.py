@@ -150,13 +150,22 @@ class TestReducedScaledEngine:
         assert np.median(n2) <= np.median(n1) * 0.1 + 2
 
     def test_scaling_only_and_splitting_only(self, cassie_data):
+        # scaling=False + splitting='constrained' forces equilibration
+        # internally (near-singular (1,1) block otherwise; see
+        # _scale_reduced) — assert FEASIBILITY, not just status: the
+        # advisor measured |A_eq z - b_eq| up to 42 with status 0 before
+        # the gate existed.
         _, _, bds = cassie_data
         for kw in (dict(scaling=True, splitting="full"),
                    dict(scaling=False, splitting="constrained", rho=0.3,
-                        max_iter=4000)):
+                        max_iter=4000),
+                   dict(scaling=False, splitting="constrained",
+                        kkt_factor="ds", rho=0.3, max_iter=4000)):
             o = FAST_OPTS.replace(**kw)
             sol, _ = solve_batched_ds(bds, CASSIE.shape, o)
             assert (np.asarray(sol.details.solve_status) == 0).all()
+            eqv = np.asarray(sol.details.equality_viol)
+            assert eqv.max() < 1e-4, f"equality-infeasible: {eqv.max()}"
 
 
 class TestDsReplayAndSharding:

@@ -124,3 +124,67 @@ class TestSchurFactorDS:
         # full factor chain accumulates ~cond * eps_ds; leave headroom
         assert np.max(np.abs(r1 - np.eye(n))) < 1e-7
         assert np.max(np.abs(r2)) < 1e-7
+
+
+class TestSeedGuard:
+    """Guarded Newton-Schulz seed (`kkt_inverse_f32_seed`): on
+    ill-conditioned/unequilibrated KKTs the polish residual would square
+    UP each step; the guard keeps the best iterate and reports the
+    residual, and the hybrid factorization falls back to the all-ds
+    Schur route for the affected instances."""
+
+    def _bad_kkt(self, rng, B=3, n=10, m=4, spread=3.0):
+        # wildly unequilibrated curvature: kappa ~ 10^(4*spread) in f32
+        s = 10.0 ** np.linspace(-spread, spread, n)
+        G = rng.normal(size=(B, n, n))
+        Q = np.einsum("bij,bkj->bik", G, G)
+        Q = Q * s[None, :, None] * s[None, None, :]
+        A = rng.normal(size=(B, m, n)) * s[None, None, :]
+        return Q, A
+
+    def test_seed_residual_reported_finite_and_flags_bad(self, rng):
+        from fcc_qp_tpu.ops.ds_linalg import kkt_inverse_f32_seed
+
+        Q, A = self._bad_kkt(rng)
+        B, n = Q.shape[0], Q.shape[1]
+        rho = jnp.full((B,), jnp.float32(5e-5))
+        X, r = kkt_inverse_f32_seed(as_ds(Q), as_ds(A), rho)
+        X = np.asarray(X)
+        r = np.asarray(r)
+        assert np.all(np.isfinite(X)), "guarded seed must never be NaN/inf"
+        # this KKT is genuinely beyond the f32 seed: the residual must
+        # say so (it is the signal the hybrid fallback keys on)
+        assert (r > 0.5).any(), f"expected a non-contracting seed, got {r}"
+
+    def test_hybrid_falls_back_to_ds_route(self, rng):
+        from fcc_qp_tpu.core.ds_engine import (
+            QPBatchDS, _factor_reduced, _factor_reduced_hybrid,
+        )
+
+        Q, A = self._bad_kkt(rng)
+        B, n, m = Q.shape[0], Q.shape[1], A.shape[1]
+        b = rng.normal(size=(B, n))
+        beq = rng.normal(size=(B, m))
+        inf = np.full((B, n), np.inf)
+        qp = QPBatchDS(
+            Q=as_ds(Q), b=as_ds(b), A_eq=as_ds(A), b_eq=as_ds(beq),
+            friction_coeffs=as_ds(np.zeros((B, 1))),
+            lb=as_ds(-inf), ub=as_ds(inf),
+        )
+        ci = np.arange(4, dtype=np.int64)
+        mask = np.zeros((n,), np.float32)
+        mask[ci] = 1.0
+        rho = jnp.full((B,), jnp.float32(5e-5))
+
+        _, xc_h, _, x_h = _factor_reduced_hybrid(qp, rho, ci, mask, 2)
+        # f64 oracle: x from [[Q + diag(rho mask), A'],[A, 0]] [x;y] = [-b;beq]
+        for i in range(B):
+            K = np.zeros((n + m, n + m))
+            K[:n, :n] = Q[i] + np.diag(5e-5 * mask.astype(np.float64))
+            K[:n, n:] = A[i].T
+            K[n:, :n] = A[i]
+            rhs = np.concatenate([-b[i], beq[i]])
+            x_ref = np.linalg.solve(K, rhs)[:n]
+            x_got = back(x_h)[i]
+            rel = np.max(np.abs(x_got - x_ref)) / max(np.max(np.abs(x_ref)), 1.0)
+            assert rel < 1e-6, f"instance {i}: rel err {rel}"

