@@ -292,10 +292,162 @@ def generate_osc_sequence(
     return qps
 
 
-def generate_osc_batch(model: RobotModel, batch: int, seed: int = 0, **kw):
+def generate_osc_batch(
+    model: RobotModel,
+    batch: int,
+    seed: int = 0,
+    w_u: float = 1e-3,
+    w_l: float = 1e-2,
+    w_slack: float = 1e2,
+    smoothness: float = 0.05,
+    f_normal: float = 400.0,
+    cone_activity: float = 0.5,
+    bound_quantile: float = 0.9,
+    random_phase: bool = False,
+):
     """Domain-randomized batch of independent OSC QPs (one per robot
-    state): T=1 sequences with different seeds, stacked."""
-    out = []
-    for i in range(batch):
-        out.extend(generate_osc_sequence(model, 1, seed=seed + i, **kw))
-    return out
+    state), fully vectorized over the batch axis (batched QR / einsum /
+    solve — no per-instance Python loop, so 4096-instance generation is
+    host-cheap without an on-disk cache).
+
+    Semantically the batch analog of ``generate_osc_sequence`` at T=1:
+    each instance gets its own robot structure (mass matrix, Jacobians,
+    task weights) and bias drivers drawn from the same distributions.
+    ``random_phase=True`` additionally gives each instance a uniform
+    random gait phase, so desired contact forces span the full
+    stance/swing range (harder, more diverse batch); the default
+    ``False`` matches the sequence generator's t=0 (phase 0: all cones
+    unloaded).
+
+    Returns a list of dicts with the reference npz schema
+    (`fcc_qp_test.py:28-30`): keys ``Q, b, A_eq, b_eq,
+    friction_coeffs, lb, ub``.
+    """
+    rng = np.random.default_rng([seed, 0x05CBA7C4])
+    B = batch
+    nv, nu, nh, nc, ncr = model.nv_dof, model.nu, model.nh, model.nc, model.nc_rows
+    nsl = model.n_slack
+    n = model.shape.num_vars
+    m = model.shape.num_eq
+    n_cones = nc // 3
+    n_task = min(nv, 12)
+
+    # --- per-instance fixed structure, batched -------------------------
+    U, _ = np.linalg.qr(rng.normal(size=(B, nv, nv)))
+    eigs = np.exp(rng.uniform(0, np.log(50.0), size=(B, nv)))
+    M0 = np.einsum("bij,bj,bkj->bik", U, eigs, U)
+    Jh0 = rng.normal(size=(B, nh, nv))
+    Jc0 = rng.normal(size=(B, nc, nv))
+    Jt0 = rng.normal(size=(B, n_task, nv))
+    w_task = np.exp(rng.uniform(0, 2, size=(B, n_task)))
+
+    # one random-walk step of each smooth driver (x0 -> x1), batched
+    a = smoothness
+    def walk(shape, alpha, scale):
+        x0 = rng.normal(size=(B,) + shape) * scale
+        return (1 - alpha) * x0 + alpha * rng.normal(size=(B,) + shape) * scale
+
+    dM = walk((nv, nv), 0.4 * a, 0.02)
+    dJh = walk((nh, nv), 0.5 * a, 0.05)
+    dJc = walk((nc, nv), 0.5 * a, 0.05)
+    dJt = walk((n_task, nv), 0.5 * a, 0.05)
+    dydd = walk((n_task,), a, 1.0)
+    dC = walk((nv,), a, 1.0)
+    dbias_h = walk((nh,), a, 0.2)
+    dbias_c = walk((ncr,), a, 0.2)
+    tan = walk((n_cones, 2), 0.5 * a, 1.0)
+
+    Mt = M0 + dM
+    Mt = 0.5 * (Mt + np.swapaxes(Mt, -1, -2)) + 1e-3 * np.eye(nv)
+    Jh = Jh0 + dJh
+    Jc = Jc0 + dJc
+    Jt = Jt0 + dJt
+    phase = (
+        rng.uniform(0, 2 * np.pi, size=(B, 1))
+        if random_phase
+        else np.zeros((B, 1))
+    )
+    yddot = dydd + 3.0 * np.sin(phase + np.arange(n_task))
+
+    # desired stance/swing contact forces (B, nc)
+    ks = np.arange(n_cones)
+    leg_phase = phase + np.pi * (ks % 2)                       # (B, K)
+    stance = np.maximum(0.0, np.sin(leg_phase)) ** 0.7
+    fz = f_normal * stance
+    frac = cone_activity * (0.5 + 0.5 * np.sin(0.5 * phase + ks))
+    d = tan / (np.linalg.norm(tan, axis=-1, keepdims=True) + 1e-9)
+    f_des = np.zeros((B, n_cones, 3))
+    f_des[..., :2] = (frac * model.mu * fz)[..., None] * d
+    f_des[..., 2] = fz
+    f_des = f_des.reshape(B, nc)
+
+    C = np.einsum("bcv,bc->bv", Jc, f_des) + dC * np.sqrt(f_normal)
+    Jcr = Jc[:, :ncr]
+
+    # --- cost ----------------------------------------------------------
+    Q = np.zeros((B, n, n))
+    Q[:, :nv, :nv] = (
+        np.einsum("btv,bt,btw->bvw", Jt, w_task, Jt) + 1e-6 * np.eye(nv)
+    )
+    idx = np.arange(n)
+    diag = np.zeros(n)
+    diag[nv : nv + nu] = w_u
+    diag[nv + nu : nv + nu + nh + nc] = w_l
+    if nsl:
+        diag[nv + nu + nh + nc :] = w_slack
+    Q[:, idx, idx] += diag
+    b = np.zeros((B, n))
+    b[:, :nv] = -np.einsum("btv,bt,bt->bv", Jt, w_task, yddot)
+    b[:, nv + nu + nh : nv + nu + nh + nc] = -w_l * f_des
+
+    # --- equality constraints ------------------------------------------
+    A = np.zeros((B, m, n))
+    beq = np.zeros((B, m))
+    A[:, :nv, :nv] = Mt
+    # -B, where B selects the trailing (actuated) dofs
+    A[:, :nv, nv : nv + nu] = np.vstack(
+        [np.zeros((nv - nu, nu)), -np.eye(nu)]
+    )
+    if nh:
+        A[:, :nv, nv + nu : nv + nu + nh] = -np.swapaxes(Jh, -1, -2)
+    A[:, :nv, nv + nu + nh : nv + nu + nh + nc] = -np.swapaxes(Jc, -1, -2)
+    beq[:, :nv] = -C
+    if nh:
+        A[:, nv : nv + nh, :nv] = Jh
+        beq[:, nv : nv + nh] = -dbias_h
+    A[:, nv + nh :, :nv] = Jcr
+    if nsl:
+        A[:, nv + nh :, nv + nu + nh + nc :] = np.eye(ncr, nsl)
+    beq[:, nv + nh :] = -dbias_c
+
+    # --- calibrate actuator bounds from the unconstrained optima -------
+    N = n + m
+    K = np.zeros((B, N, N))
+    K[:, :n, :n] = Q
+    K[:, :n, n:] = np.swapaxes(A, -1, -2)
+    K[:, n:, :n] = A
+    rhs = np.concatenate([-b, beq], axis=-1)
+    try:
+        x_star = np.linalg.solve(K, rhs[..., None])[:, :n, 0]
+    except np.linalg.LinAlgError:
+        x_star = np.stack(
+            [_equality_solve(Q[i], b[i], A[i], beq[i]) for i in range(B)]
+        )
+    u_star = np.abs(x_star[:, nv : nv + nu])
+    u_max = np.maximum(
+        np.quantile(u_star, bound_quantile, axis=-1, keepdims=True), 1e-3
+    )                                                          # (B, 1)
+
+    lb = np.full((B, n), -np.inf)
+    ub = np.full((B, n), np.inf)
+    lb[:, nv : nv + nu] = -u_max
+    ub[:, nv : nv + nu] = u_max
+
+    fc = np.full(n_cones, model.mu)
+    return [
+        dict(
+            Q=Q[i], b=b[i], A_eq=A[i], b_eq=beq[i],
+            friction_coeffs=fc, lb=lb[i], ub=ub[i],
+        )
+        for i in range(B)
+    ]

@@ -10,6 +10,8 @@ from fcc_qp_tpu.parallel.mesh import (
 from fcc_qp_tpu.parallel.sharded import (
     BatchSummary,
     replay_sharded,
+    shard_batch_last_tree,
+    solve_batched_ds_sharded,
     solve_batched_sharded,
     summarize,
 )
@@ -23,7 +25,9 @@ __all__ = [
     "pad_batch",
     "replay_sharded",
     "replicated",
+    "shard_batch_last_tree",
     "shard_batch_tree",
+    "solve_batched_ds_sharded",
     "solve_batched_sharded",
     "summarize",
 ]
