@@ -57,6 +57,11 @@ def parse_args(argv=None):
                    default=True, help="disable cone-aware Ruiz equilibration")
     p.add_argument("--no-polish", dest="polish", action="store_false",
                    default=True, help="disable active-set polishing")
+    p.add_argument("--polish-rounds", type=int, default=4,
+                   help="PDAS polish attempts per solve (retries after "
+                        "short re-classification chunks)")
+    p.add_argument("--polish-newton-steps", type=int, default=4,
+                   help="PDAS/SQP re-classification steps per attempt")
     p.add_argument("--splitting", choices=["constrained", "full"],
                    default="constrained")
     p.add_argument("--no-pallas", dest="pallas", action="store_false",
@@ -158,6 +163,8 @@ def main():
         adaptive_rho_max_adaptations=1, presolve="operator",
         scaling=args.scaling, splitting=args.splitting,
         kkt_refine_steps=1, polish=args.polish,
+        polish_rounds=args.polish_rounds,
+        polish_newton_steps=args.polish_newton_steps,
     )
     use_pallas = args.pallas and args.engine == "ds" and args.batch % 128 == 0
 

@@ -79,6 +79,16 @@ class FCCQPOptions:
     * ``polish_newton_steps``: Newton re-linearization steps for
       cone-surface constraints (1 is exact for purely linear active
       sets; 2 recovers quadratic accuracy through the curved cone).
+    * ``polish_rounds``: total active-set polish attempts per solve.
+      After a rejected attempt (misclassified active set at the coarse
+      point) the solver runs up to ``polish_interval`` further f32
+      ADMM iterations at a tighter tolerance, then retries the polish
+      with a Newton-Schulz-refreshed inverse seed. Rounds are
+      `lax.cond`-skipped once every instance is accepted, so extra
+      rounds are ~free on easy (fully warm) batches while removing the
+      straggler tail — the batch otherwise pays max-over-batch
+      iterations in the endgame while_loop.
+    * ``polish_interval``: f32 ADMM iterations between polish retries.
     """
 
     max_iter: int = 1000
@@ -102,7 +112,9 @@ class FCCQPOptions:
     polish: bool = False
     polish_tol: float = 1e-2
     polish_act_tol: float = 1e-3
-    polish_newton_steps: int = 2
+    polish_newton_steps: int = 4
+    polish_rounds: int = 1
+    polish_interval: int = 64
 
     def __post_init__(self):
         if self.max_iter <= 0:
@@ -131,6 +143,10 @@ class FCCQPOptions:
             raise ValueError("polish tolerances must be > 0")
         if self.polish_newton_steps < 1:
             raise ValueError("polish_newton_steps must be >= 1")
+        if self.polish_rounds < 1:
+            raise ValueError("polish_rounds must be >= 1")
+        if self.polish_interval < 1:
+            raise ValueError("polish_interval must be >= 1")
 
     def replace(self, **kw) -> "FCCQPOptions":
         return dataclasses.replace(self, **kw)

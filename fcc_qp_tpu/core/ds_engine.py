@@ -15,6 +15,7 @@ last); results exit as f64 when x64 is enabled (hi+lo reconstruction).
 
 from __future__ import annotations
 
+import os
 import time
 from functools import partial
 from typing import NamedTuple, Optional
@@ -30,6 +31,7 @@ from fcc_qp_tpu.ops.ds import DS
 from fcc_qp_tpu.ops.ds_linalg import (
     assemble_kkt_ds,
     kkt_inverse_blocks_refined_ds,
+    kkt_inverse_f32_refresh,
     kkt_inverse_f32_seed,
     kkt_solve_refined_ds,
     matvec_ds,
@@ -67,6 +69,24 @@ class WarmStartDS(NamedTuple):
     mu_x: DS
     mu_lambda_c: DS
     rho: Array  # (B,) f32 — persisted so adaptive rho carries over
+
+
+class OperatorCache(NamedTuple):
+    """Carried f32 operator seeds for sequential (replay) solves.
+
+    A control-rate replay changes the QP data ~0.1%/step, so the
+    expensive seed builds — the Schur KKT inverse
+    (`ops.ds_linalg.kkt_inverse_f32_seed`, two SPD NS inversions) and
+    the polish KKT inverse (`ops.polish._polish_seed_f32`, ~48 NS
+    iterations) — are replaced by a few guarded Newton-Schulz refresh
+    steps against the new step's data. Purely an accelerator: every
+    refreshed seed is residual-checked and falls back to the cold build
+    per instance, so results are identical up to the (checked)
+    convergence tolerance.
+    """
+
+    kkt_seed: Optional[Array] = None     # (N, N, B) f32
+    polish_seed: Optional[Array] = None  # (B, N2, N2) f32
 
 
 def _split64(a: np.ndarray) -> DS:
@@ -241,7 +261,7 @@ def _factor_reduced(
 
 def _factor_reduced_hybrid(
     qp: QPBatchDS, rho: Array, ci: np.ndarray, mask: np.ndarray,
-    passes: int,
+    passes: int, kkt_seed: Optional[Array] = None,
 ):
     """Hybrid factorization for the reduced hot loop: f32 XLA Schur
     inverse seed (batched Cholesky + MXU matmuls,
@@ -249,12 +269,22 @@ def _factor_reduced_hybrid(
     refinement of ONLY the needed inverse columns and the constant term
     — same outputs as `_factor_reduced` at a fraction of the latency
     (the all-ds Schur route is bound by O(n^2) sequential fori steps).
+
+    ``kkt_seed``: optional carried f32 inverse from the previous replay
+    step (`OperatorCache.kkt_seed`); when given, the Schur seed build
+    is replaced by a guarded NS refresh against the current KKT.
+    Returns ``(Fcc, xc_const, Fcolj, x_const, X32)``.
     """
     n = qp.Q.hi.shape[0]
     rho_diag = rho[None, :] * jnp.asarray(mask, qp.Q.hi.dtype)[:, None]
     M = assemble_kkt_ds(qp.Q, qp.A_eq, rho_diag)
     with jax.default_matmul_precision("highest"):
-        X32, seed_res = kkt_inverse_f32_seed(qp.Q, qp.A_eq, rho_diag)
+        if kkt_seed is None:
+            X32, seed_res = kkt_inverse_f32_seed(qp.Q, qp.A_eq, rho_diag)
+        else:
+            X32, seed_res = kkt_inverse_f32_refresh(
+                kkt_seed, qp.Q, qp.A_eq, rho_diag
+            )
     C = refine_inverse_columns_ds(X32, M, ci, passes=passes)  # (N, k, B)
     # C[:, j] = M^{-1}[:, ci_j]; the loop needs F[:, ci] j-major over k
     Fci = DS(C.hi[:n], C.lo[:n])               # (n, k, B) = F[:, ci]
@@ -271,7 +301,8 @@ def _factor_reduced_hybrid(
     hyb = (Fcc, xc_const, Fcolj, x_const)
 
     # instances whose seed did not contract (||I - X M|| too large for
-    # the downstream thin refinement to converge) are re-factorized on
+    # the downstream thin refinement to converge — with a carried seed
+    # also: the data jumped too far for a refresh) are re-factorized on
     # the all-ds Schur route and selected per instance. lax.cond keeps
     # the fallback free on healthy batches (the common case).
     bad = seed_res > 0.5
@@ -287,7 +318,8 @@ def _factor_reduced_hybrid(
     def _passthrough(hyb_in):
         return tuple(hyb_in)
 
-    return jax.lax.cond(jnp.any(bad), _with_fallback, _passthrough, hyb)
+    out = jax.lax.cond(jnp.any(bad), _with_fallback, _passthrough, hyb)
+    return out + (X32,)
 
 
 def constrained_indices(
@@ -861,6 +893,7 @@ class _PrepReduced(NamedTuple):
     xc_const: DS
     Fcolj: DS
     x_const: DS
+    kkt_seed: Optional[Array] = None  # (N, N, B) f32 (hybrid factor)
 
 
 def _scale_reduced(qp, shape, opts):
@@ -889,11 +922,14 @@ def _scale_reduced(qp, shape, opts):
 
 
 def _reduced_factor_fn(qps, opts, ci, mask):
+    """4-tuple factorization interface (Fcc, xc_const, Fcolj, x_const)
+    for rho refactorization inside the iterate loop (the carried f32
+    seed, when any, lives in the prepare phase — see `OperatorCache`)."""
     if opts.kkt_factor == "hybrid":
         def factor_fn(rho_):
             return _factor_reduced_hybrid(
                 qps, rho_, ci, mask, opts.kkt_refine_steps + 1
-            )
+            )[:4]
     else:
         def factor_fn(rho_):
             return _factor_reduced(
@@ -903,12 +939,16 @@ def _reduced_factor_fn(qps, opts, ci, mask):
 
 
 def _prepare_reduced(
-    qp, warm, shape, opts, warm_start, con_idx
+    qp, warm, shape, opts, warm_start, con_idx,
+    kkt_seed: Optional[Array] = None,
 ) -> _PrepReduced:
     """Stage 1 (the "factorization" phase): equilibration, warm-state
     setup, optional exact presolve, and the reduced KKT operator build.
     Requires ``len(con_idx) > 0`` (the pure-equality k == 0 case is
-    handled by `_solve_reduced_k0`)."""
+    handled by `_solve_reduced_k0`).
+
+    ``kkt_seed``: carried f32 KKT inverse (`OperatorCache.kkt_seed`,
+    scaled space) refreshed instead of rebuilt on the hybrid path."""
     nv, nc, ls = shape.num_vars, shape.nc, shape.lambda_c_start
     B = qp.batch
     f32 = qp.Q.hi.dtype
@@ -958,14 +998,22 @@ def _prepare_reduced(
     else:
         eq_c = jnp.zeros((B,), jnp.bool_)
 
-    factor_fn = _reduced_factor_fn(qps, opts, ci, mask)
-    Fcc0, xc_const0, Fcolj0, x_const0 = factor_fn(rho0)
+    if opts.kkt_factor == "hybrid":
+        Fcc0, xc_const0, Fcolj0, x_const0, X32 = _factor_reduced_hybrid(
+            qps, rho0, ci, mask, opts.kkt_refine_steps + 1,
+            kkt_seed=kkt_seed,
+        )
+    else:
+        Fcc0, xc_const0, Fcolj0, x_const0 = _factor_reduced(
+            qps, rho0, ci, mask, opts.kkt_refine_steps
+        )
+        X32 = None
     if x_init is None:
         x_init = x_const0
     return _PrepReduced(
         qps=qps, d=d, e=sc.e, rho0=rho0, mu0=mu0, x_init=x_init,
         eq_c=eq_c, Fcc=Fcc0, xc_const=xc_const0, Fcolj=Fcolj0,
-        x_const=x_const0,
+        x_const=x_const0, kkt_seed=X32,
     )
 
 
@@ -1003,6 +1051,7 @@ def _solve_reduced_k0(qp, shape, opts):
 def _iterate_reduced(
     qp, prep: _PrepReduced, shape, opts, con_idx,
     use_pallas=False, pallas_interpret=False,
+    polish_seed: Optional[Array] = None, with_cache: bool = False,
 ):
     """Stage 2 of the equilibrated, reduced-subspace ds ADMM.
 
@@ -1239,7 +1288,7 @@ def _iterate_reduced(
             xc=z32(st.xc), s=z32(st.s), mu=z32(st.mu), v=z32(st.v)
         )
 
-    def iteration32(st: _RState) -> _RState:
+    def iteration32(st: _RState, tau=tau) -> _RState:
         s_prev = st.s.hi
         v = s_prev - st.mu.hi
 
@@ -1315,53 +1364,58 @@ def _iterate_reduced(
             done=st.done | (conv & active),
         )
 
-    def chunk_body32_xla(st: _RState) -> _RState:
-        st = jax.lax.fori_loop(0, K, lambda _, s_: iteration32(s_), st)
-        if opts.adaptive_rho:
-            st = adapt(st)
-        return st
+    def make_chunk32(Kc, tau_c, adapt_after=True):
+        def chunk_body32_xla(st: _RState) -> _RState:
+            st = jax.lax.fori_loop(
+                0, Kc, lambda _, s_: iteration32(s_, tau_c), st
+            )
+            if opts.adaptive_rho and adapt_after:
+                st = adapt(st)
+            return st
 
-    def chunk_body32_pallas(st: _RState) -> _RState:
-        from fcc_qp_tpu.ops.pallas_admm import admm_chunk_pallas32
+        def chunk_body32_pallas(st: _RState) -> _RState:
+            from fcc_qp_tpu.ops.pallas_admm import admm_chunk_pallas32
 
-        rshape = ProblemShape(
-            num_vars=k, num_eq=0, nc=nc, lambda_c_start=kb
-        )
-        inf = jnp.full((nc, B), jnp.inf, f32)
-        lb_k = jnp.concatenate([lbc.hi, -inf], axis=0) if nc else lbc.hi
-        ub_k = jnp.concatenate([ubc.hi, inf], axis=0) if nc else ubc.hi
-        mu_x_in = jnp.concatenate(
-            [st.mu.hi[:kb], jnp.zeros((nc, B), f32)], axis=0
-        ) if nc else st.mu.hi
-        mu_lam_in = st.mu.hi[kb:]
-        lam_bar_in = st.s.hi[kb:]
+            rshape = ProblemShape(
+                num_vars=k, num_eq=0, nc=nc, lambda_c_start=kb
+            )
+            inf = jnp.full((nc, B), jnp.inf, f32)
+            lb_k = jnp.concatenate([lbc.hi, -inf], axis=0) if nc else lbc.hi
+            ub_k = jnp.concatenate([ubc.hi, inf], axis=0) if nc else ubc.hi
+            mu_x_in = jnp.concatenate(
+                [st.mu.hi[:kb], jnp.zeros((nc, B), f32)], axis=0
+            ) if nc else st.mu.hi
+            mu_lam_in = st.mu.hi[kb:]
+            lam_bar_in = st.s.hi[kb:]
 
-        (x, x_bar, lam_bar, mu_x, mu_lam, v_out, done, _n_iter, itv,
-         xrn, lrn, prim, dual) = admm_chunk_pallas32(
-            st.Fcc.hi, st.xc_const.hi, lb_k, ub_k, mu_eff.hi,
-            st.rho, tau, tau,
-            st.xc.hi, st.s.hi, lam_bar_in, mu_x_in, mu_lam_in, st.v.hi,
-            st.done, st.n_iter, st.itv,
-            shape=rshape, K=K, max_iter=opts.max_iter,
-            interpret=pallas_interpret,
-            weights=wk, cone_weights=wl,
-        )
-        s_new = jnp.concatenate([x_bar[:kb], lam_bar], axis=0) if nc else x_bar
-        mu_new = jnp.concatenate([mu_x[:kb], mu_lam], axis=0) if nc else mu_x
-        zl = jnp.zeros_like
-        st = st._replace(
-            it=st.it + K,
-            xc=DS(x, zl(x)), s=DS(s_new, zl(s_new)),
-            mu=DS(mu_new, zl(mu_new)), v=DS(v_out, zl(v_out)),
-            x_res_norm=xrn, lam_res_norm=lrn, prim_norm=prim,
-            dual_norm=dual, itv=itv, done=done,
-        )
-        if opts.adaptive_rho:
-            st = adapt(st)
-        return st
+            (x, x_bar, lam_bar, mu_x, mu_lam, v_out, done, _n_iter, itv,
+             xrn, lrn, prim, dual) = admm_chunk_pallas32(
+                st.Fcc.hi, st.xc_const.hi, lb_k, ub_k, mu_eff.hi,
+                st.rho, tau_c, tau_c,
+                st.xc.hi, st.s.hi, lam_bar_in, mu_x_in, mu_lam_in, st.v.hi,
+                st.done, st.n_iter, st.itv,
+                shape=rshape, K=Kc, max_iter=opts.max_iter,
+                interpret=pallas_interpret,
+                weights=wk, cone_weights=wl,
+            )
+            s_new = jnp.concatenate([x_bar[:kb], lam_bar], axis=0) if nc else x_bar
+            mu_new = jnp.concatenate([mu_x[:kb], mu_lam], axis=0) if nc else mu_x
+            zl = jnp.zeros_like
+            st = st._replace(
+                it=st.it + Kc,
+                xc=DS(x, zl(x)), s=DS(s_new, zl(s_new)),
+                mu=DS(mu_new, zl(mu_new)), v=DS(v_out, zl(v_out)),
+                x_res_norm=xrn, lam_res_norm=lrn, prim_norm=prim,
+                dual_norm=dual, itv=itv, done=done,
+            )
+            if opts.adaptive_rho and adapt_after:
+                st = adapt(st)
+            return st
+
+        return chunk_body32_pallas if use_pallas else chunk_body32_xla
 
     chunk_body = chunk_body_pallas if use_pallas else chunk_body_xla
-    chunk_body32 = chunk_body32_pallas if use_pallas else chunk_body32_xla
+    chunk_body32 = make_chunk32(K, tau)
 
     two_phase = coarse_tol > max(opts.eps_bound, opts.eps_fcone)
     do_polish = opts.polish and two_phase
@@ -1378,33 +1432,97 @@ def _iterate_reduced(
         if do_polish:
             from fcc_qp_tpu.ops.polish import polish_reduced
 
-            pol = polish_reduced(
-                qps, shape, ci, kb, st.s, st.mu, st.rho, wk, lbc, ubc,
-                prep.e, opts.eps_bound, opts.eps_fcone,
-                opts.polish_act_tol, opts.polish_newton_steps,
-            )
-            acc = pol.accept
-            accN = acc[None, :]
-            # accepted: adopt the polished slack/duals, record residuals
-            # and iteration count, mark done (frozen through the
-            # endgame). Rejected: plain ADMM endgame from the coarse
-            # state (the phase-1 done flags meant "crossed tau").
-            st = st._replace(
-                s=ds.where(accN, pol.s, st.s),
-                mu=ds.where(accN, pol.mu, st.mu),
-                x_res_norm=jnp.where(acc, pol.x_res, st.x_res_norm),
-                lam_res_norm=jnp.where(acc, pol.lam_res, st.lam_res_norm),
-                n_iter=jnp.where(
-                    acc, st.itv, jnp.full_like(st.n_iter, opts.max_iter)
-                ),
-                done=acc,
-            )
+            def attempt(st: _RState, seed):
+                p = polish_reduced(
+                    qps, shape, ci, kb, st.s, st.mu, st.rho, wk, lbc,
+                    ubc, prep.e, opts.eps_bound, opts.eps_fcone,
+                    opts.polish_act_tol, opts.polish_newton_steps,
+                    seed=seed,
+                )
+                acc = p.accept & ~st.done
+                if os.environ.get("FCCQP_ROUNDS_DEBUG"):
+                    jax.debug.print(
+                        "polish attempt: newly_acc={a} prev_done={d} "
+                        "itv_p50~{i}",
+                        a=jnp.sum(acc), d=jnp.sum(st.done),
+                        i=jnp.median(st.itv),
+                    )
+                accN = acc[None, :]
+                # newly accepted: adopt the polished slack/duals, record
+                # residuals and iteration count, mark done (frozen from
+                # here on). Rejected: continue iterating.
+                st = st._replace(
+                    s=ds.where(accN, p.s, st.s),
+                    mu=ds.where(accN, p.mu, st.mu),
+                    x_res_norm=jnp.where(acc, p.x_res, st.x_res_norm),
+                    lam_res_norm=jnp.where(acc, p.lam_res, st.lam_res_norm),
+                    n_iter=jnp.where(acc, st.itv, st.n_iter),
+                    done=st.done | acc,
+                )
+                return st, p, acc
+
+            # attempt 1 at the coarse point (phase-1 done flags meant
+            # "crossed tau" — replaced by acceptance below); the seed is
+            # the carried previous-step polish seed when replaying
+            st = st._replace(done=jnp.zeros_like(st.done))
+            st, pol, acc1 = attempt(st, polish_seed)
+            pol = pol._replace(accept=acc1)
+
+            # re-polish rounds: rejected instances run a short f32
+            # chunk at a tighter tolerance (their active set was
+            # misread at the coarser point — a few dozen more
+            # iterations move the slack enough to re-classify), then a
+            # retry polish from the NS-refreshed seed. Entire round is
+            # skipped (lax.cond) once everything is accepted — warm
+            # replay steps usually accept ~all instances at round 1.
+            # `pol.accept` is the cumulative accepted mask; inside a
+            # round chunk `done` additionally flags instances that
+            # crossed the round tolerance (stop iterating, ready to
+            # re-classify) and is reset to the accepted mask before
+            # each attempt.
+            K2 = opts.polish_interval
+            round_chunk_tau = coarse_tol
+            for _ in range(opts.polish_rounds - 1):
+                # tighter per round, floored where plain-f32 iteration
+                # arithmetic can still resolve the residual
+                round_chunk_tau = max(
+                    round_chunk_tau * 0.125,
+                    4.0 * max(opts.eps_bound, opts.eps_fcone),
+                    1e-4,
+                )
+                chunk_r = make_chunk32(
+                    K2, jnp.asarray(round_chunk_tau, f32),
+                    adapt_after=False,
+                )
+
+                def round_body(carry):
+                    st, pol = carry
+                    acc_mask = pol.accept
+                    st = chunk_r(st)
+                    st = st._replace(done=acc_mask)
+                    st, p, acc_r = attempt(st, pol.seed)
+                    accN = acc_r[None, :]
+                    pol = p._replace(
+                        x=ds.where(accN, p.x, pol.x),
+                        accept=acc_mask | acc_r,
+                    )
+                    return st, pol
+
+                st, pol = jax.lax.cond(
+                    jnp.all(pol.accept | (st.itv >= opts.max_iter)),
+                    lambda c: c,
+                    round_body,
+                    (st, pol),
+                )
         else:
             # un-done everything: "crossed tau" is not converged
             st = st._replace(done=jnp.zeros_like(st.done))
 
+    it_budget = (2 * n_chunks * K
+                 + (opts.polish_rounds - 1) * opts.polish_interval)
+
     def chunk_cond(st: _RState):
-        return (st.it < 2 * n_chunks * K) & ~jnp.all(
+        return (st.it < it_budget) & ~jnp.all(
             st.done | (st.itv >= opts.max_iter)
         )
 
@@ -1470,6 +1588,12 @@ def _iterate_reduced(
         mu_lambda_c=_seg_tail(mu_u, kb) if nc else ds.zeros((0, B), f32),
         rho=st.rho,
     )
+    if with_cache:
+        cache = OperatorCache(
+            kkt_seed=prep.kkt_seed,
+            polish_seed=pol.seed if pol is not None else None,
+        )
+        return FCCQPSolution(details=details, z=z), new_warm, cache
     return FCCQPSolution(details=details, z=z), new_warm
 
 
@@ -1477,22 +1601,33 @@ def _iterate_reduced(
     jax.jit,
     static_argnames=(
         "shape", "opts", "warm_start", "con_idx", "use_pallas",
-        "pallas_interpret",
+        "pallas_interpret", "with_cache",
     ),
 )
 def _solve_ds_reduced_jit(
     qp, warm, shape, opts, warm_start, con_idx,
     use_pallas=False, pallas_interpret=False,
+    cache: Optional[OperatorCache] = None, with_cache: bool = False,
 ):
     """Composed (single-program) reduced solve — used under outer jits
     (replay scans, sharded wrappers). The eager path in
     `solve_batched_ds` runs the two stages as separate dispatches so the
-    factorization phase can be wall-clock timed."""
+    factorization phase can be wall-clock timed.
+
+    ``cache``/``with_cache``: carried f32 operator seeds for sequential
+    replay (`OperatorCache`); with_cache=True returns (sol, warm, cache).
+    """
     if len(con_idx) == 0:
-        return _solve_reduced_k0(qp, shape, opts)
-    prep = _prepare_reduced(qp, warm, shape, opts, warm_start, con_idx)
+        out = _solve_reduced_k0(qp, shape, opts)
+        return out + (OperatorCache(),) if with_cache else out
+    prep = _prepare_reduced(
+        qp, warm, shape, opts, warm_start, con_idx,
+        kkt_seed=cache.kkt_seed if cache is not None else None,
+    )
     return _iterate_reduced(
-        qp, prep, shape, opts, con_idx, use_pallas, pallas_interpret
+        qp, prep, shape, opts, con_idx, use_pallas, pallas_interpret,
+        polish_seed=cache.polish_seed if cache is not None else None,
+        with_cache=with_cache,
     )
 
 
@@ -1503,6 +1638,7 @@ _iterate_reduced_jit = partial(
     jax.jit,
     static_argnames=(
         "shape", "opts", "con_idx", "use_pallas", "pallas_interpret",
+        "with_cache",
     ),
 )(_iterate_reduced)
 
@@ -1621,24 +1757,52 @@ def _replay_streams_jit(
             tree,
         )
 
-    sol0, ws = solve_batched_ds(
-        index_t(qps_r, 0), shape, opts, warm_start=False,
-        use_pallas=use_pallas, pallas_interpret=pallas_interpret,
-        con_idx=con_idx,
-    )
+    if con_idx is not None and len(con_idx) > 0:
+        # reduced path with the operator cache threaded through the
+        # scan: consecutive steps refresh the previous step's f32 KKT /
+        # polish inverse seeds instead of rebuilding them
+        sol0, ws, cache = _solve_ds_reduced_jit(
+            index_t(qps_r, 0), None, shape, opts, False, con_idx,
+            use_pallas, pallas_interpret, cache=None, with_cache=True,
+        )
 
-    def step(ws, t):
-        qp = index_t(qps_r, t)
-        sol, ws = solve_batched_ds(
-            qp, shape, opts, warm=ws, warm_start=True,
+        def step(carry, t):
+            ws, cache = carry
+            sol, ws, cache = _solve_ds_reduced_jit(
+                index_t(qps_r, t), ws, shape, opts, True, con_idx,
+                use_pallas, pallas_interpret, cache=cache,
+                with_cache=True,
+            )
+            return (ws, cache), sol
+
+        if steps > 1:
+            (ws, _), sols = jax.lax.scan(
+                step, (ws, cache), jnp.arange(1, steps)
+            )
+        else:
+            sols = None
+    else:
+        sol0, ws = solve_batched_ds(
+            index_t(qps_r, 0), shape, opts, warm_start=False,
             use_pallas=use_pallas, pallas_interpret=pallas_interpret,
             con_idx=con_idx,
         )
-        return ws, sol
 
-    if steps > 1:
-        ws, sols = jax.lax.scan(step, ws, jnp.arange(1, steps))
+        def step(ws, t):
+            qp = index_t(qps_r, t)
+            sol, ws = solve_batched_ds(
+                qp, shape, opts, warm=ws, warm_start=True,
+                use_pallas=use_pallas, pallas_interpret=pallas_interpret,
+                con_idx=con_idx,
+            )
+            return ws, sol
 
+        if steps > 1:
+            ws, sols = jax.lax.scan(step, ws, jnp.arange(1, steps))
+        else:
+            sols = None
+
+    if sols is not None:
         def to_global(a0, arest):
             # a0 (S, ...) + arest (steps-1, S, ...) -> (T, ...) in global
             # time order (stream-major: out[s*steps + t])

@@ -438,6 +438,56 @@ def generate_osc_batch(
         np.quantile(u_star, bound_quantile, axis=-1, keepdims=True), 1e-3
     )                                                          # (B, 1)
 
+    # --- feasibility certificate ---------------------------------------
+    # Tight actuator bounds + exact cones can render a random instance
+    # PRIMAL INFEASIBLE (models without contact slacks, e.g. the
+    # quadruped: the unactuated dynamics rows then demand cone-violating
+    # contact forces), and ADMM stalls at a nonzero least-violation
+    # residual — as does the reference algorithm. Real OSC logs are
+    # feasible (the robot exists), so certify feasibility: pin the
+    # contact forces to the cone-projected unconstrained optimum (pushed
+    # strictly inside the cone), solve the equality system for the
+    # torques that realize them, and widen each instance's bounds to
+    # cover that certificate point.
+    # exact Euclidean cone projection of the unconstrained optimum's
+    # forces (the cone is closed, so the projected point certifies
+    # feasibility while perturbing the problem distribution minimally)
+    lam_star = x_star[:, nv + nu + nh : nv + nu + nh + nc]
+    lam3 = lam_star.reshape(B, n_cones, 3)
+    nxy = np.linalg.norm(lam3[..., :2], axis=-1)
+    fz = lam3[..., 2]
+    mu_c = model.mu
+    inside = mu_c * fz >= nxy
+    polar = fz + mu_c * nxy < 0
+    t = (mu_c * nxy + fz) / (mu_c * mu_c + 1.0)
+    sc = np.where(
+        inside, 1.0,
+        np.where(polar, 0.0, t * mu_c / np.maximum(nxy, 1e-12)),
+    )
+    fz_p = np.where(inside, fz, np.where(polar, 0.0, t))
+    lam_feas = np.concatenate(
+        [lam3[..., :2] * sc[..., None], fz_p[..., None]], axis=-1
+    ).reshape(B, nc)
+    # equality solve with the cone segment pinned
+    P = np.zeros((nc, n))
+    P[np.arange(nc), nv + nu + nh + np.arange(nc)] = 1.0
+    N2 = n + m + nc
+    K2 = np.zeros((B, N2, N2))
+    K2[:, :n, :n] = Q
+    K2[:, :n, n : n + m] = np.swapaxes(A, -1, -2)
+    K2[:, n : n + m, :n] = A
+    K2[:, :n, n + m :] = np.broadcast_to(P.T, (B, n, nc))
+    K2[:, n + m :, :n] = np.broadcast_to(P, (B, nc, n))
+    rhs2 = np.concatenate([-b, beq, lam_feas], axis=-1)
+    try:
+        x_feas = np.linalg.solve(K2, rhs2[..., None])[:, :n, 0]
+    except np.linalg.LinAlgError:
+        x_feas = np.linalg.lstsq(
+            K2.reshape(-1, N2, N2)[0], rhs2[0], rcond=None
+        )[0][:n][None].repeat(B, axis=0)
+    u_feas = np.abs(x_feas[:, nv : nv + nu])
+    u_max = np.maximum(u_max, 1.02 * u_feas)                   # (B, nu)
+
     lb = np.full((B, n), -np.inf)
     ub = np.full((B, n), np.inf)
     lb[:, nv : nv + nu] = -u_max

@@ -671,6 +671,19 @@ def kkt_inverse_f32_seed(Q: DS, A: DS, rho: Array, delta: float = 1e-2):
     Mb = Mb.at[:, :n, :n].set(Qb + dvec[:, :, None] * eye_n)
     Mb = Mb.at[:, :n, n:].set(At)
     Mb = Mb.at[:, n:, :n].set(Ab)
+    X_best, r_best = _ns_polish_guarded(X, Mb, steps=3)
+    return jnp.moveaxis(X_best, 0, -1), r_best  # (N, N, B), (B,)
+
+
+def _ns_polish_guarded(X: Array, Mb: Array, steps: int):
+    """Guarded Newton-Schulz polish of an f32 inverse iterate against
+    Mb (batch-leading). Keeps the best-residual iterate per instance
+    (monotone non-increasing; NS squares the residual UP when >= 1) and
+    returns ``(X_best (B,N,N), resid (B,))``."""
+    N = Mb.shape[-1]
+    f32 = Mb.dtype
+    hi_p = jax.lax.Precision.HIGHEST
+    mm = lambda a, b: jnp.matmul(a, b, precision=hi_p)
     eyeN = jnp.eye(N, dtype=f32)
     eye2N = 2.0 * eyeN
 
@@ -683,15 +696,49 @@ def kkt_inverse_f32_seed(Q: DS, A: DS, rho: Array, delta: float = 1e-2):
     P = mm(Mb, X)
     r_best = resid_inf(P)
     X_best = X
-    for _ in range(3):
+    for _ in range(steps):
         X = mm(X, eye2N - P)
         P = mm(Mb, X)
         r = resid_inf(P)
         better = r < r_best
         X_best = jnp.where(better[:, None, None], X, X_best)
         r_best = jnp.minimum(r, r_best)
+    return X_best, r_best
 
-    return jnp.moveaxis(X_best, 0, -1), r_best  # (N, N, B), (B,)
+
+def kkt_inverse_f32_refresh(X_prev: Array, Q: DS, A: DS, rho: Array,
+                            steps: int = 3):
+    """Refresh a carried f32 KKT inverse seed against the CURRENT
+    (unregularized) KKT — the warm-operator path for sequential replay.
+
+    A control-rate replay changes (Q, A_eq) by ~0.1%/step, so the
+    previous step's inverse has NS residual ~||X|| * ||dM|| << 1 and a
+    couple of guarded Newton-Schulz steps restore it to the f32 floor —
+    replacing the full Schur seed build (two SPD NS inversions + block
+    assembly, `kkt_inverse_f32_seed`) with ~2*steps MXU matmuls.
+
+    X_prev (N, N, B) batch-last; returns ``(X (N,N,B), resid (B,))`` —
+    same contract as `kkt_inverse_f32_seed`, so callers route
+    non-contracting instances (resid large: the data jumped, e.g. a
+    stream boundary) to the same fallback.
+    """
+    n, _, B = Q.hi.shape
+    m = A.hi.shape[0]
+    f32 = Q.hi.dtype
+    Qb = jnp.moveaxis(Q.hi, -1, 0)
+    Ab = jnp.moveaxis(A.hi, -1, 0)
+    rho_nb = rho if rho.ndim == 2 else jnp.broadcast_to(rho[None, :], (n, B))
+    dvec = jnp.moveaxis(rho_nb, -1, 0)
+    eye_n = jnp.eye(n, dtype=f32)
+    N = n + m
+    Mb = jnp.zeros((B, N, N), f32)
+    Mb = Mb.at[:, :n, :n].set(Qb + dvec[:, :, None] * eye_n)
+    Mb = Mb.at[:, :n, n:].set(jnp.swapaxes(Ab, -1, -2))
+    Mb = Mb.at[:, n:, :n].set(Ab)
+    X_best, r_best = _ns_polish_guarded(
+        jnp.moveaxis(X_prev, -1, 0), Mb, steps=steps
+    )
+    return jnp.moveaxis(X_best, 0, -1), r_best
 
 
 def refine_inverse_columns_ds(

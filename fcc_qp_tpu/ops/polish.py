@@ -59,6 +59,7 @@ class PolishResult(NamedTuple):
     accept: Array  # (B,) bool — passed the full-eps residual check
     x_res: Array   # (B,) weighted box residual of the polished point
     lam_res: Array  # (B,) weighted cone residual
+    seed: Array    # (B, N2, N2) f32 inverse seed (reusable for retries)
 
 
 def _cone_geometry(lam3: DS):
@@ -74,63 +75,62 @@ def _cone_geometry(lam3: DS):
     return nxy, ds.div(fx, safe), ds.div(fy, safe)
 
 
-def classify_active(
-    s: DS,
-    mu: DS,
-    rho: Array,
+def classify_branch(
+    t: DS,
     lbc: DS,
     ubc: DS,
     mu_eff: DS,
     kb: int,
     nc: int,
     wk: Array,
-    act_tol: float,
+    inflate: float = 0.0,
 ):
-    """Active-set classification from the projected ADMM slack + duals.
+    """Active-set classification from the PRE-projection point
+    ``t = s + mu`` (identically ``x_hat + mu_prev``, the argument the
+    ADMM projection is evaluated at).
 
-    Projection places active coordinates EXACTLY on their bound / cone
-    surface, so proximity in unscaled units (weights ``wk``) is the
-    primary signal (same rule OSQP uses on its slack variables). For
-    cones, proximity alone misclassifies the *weakly binding* case —
-    e.g. a swing-leg cone whose true optimal force is tiny-but-nonzero
-    sits within act_tol of the apex, yet pinning it to zero injects an
-    error of exactly that tiny force. The dual magnitude disambiguates:
-    the unscaled multiplier lambda = rho * mu * w is ~0 for an inactive
-    (interior) constraint and O(binding force) for an active one, so a
-    near-apex/near-surface cone with |lambda| < act_tol is classified
-    interior and the polish solves for its exact tiny force instead.
+    The projection branch of t IS the active set: at the ADMM fixed
+    point, Pi(t) clips a coordinate to its bound (t outside the box)
+    exactly when that bound is active with the correct multiplier sign
+    (mu = t - Pi(t)), and Pi_F maps t to the cone surface / apex
+    exactly when the cone constraint is active / the force vanishes
+    with a polar-cone multiplier. Classifying by branch therefore
+    encodes BOTH primal activity and dual sign in one test — the
+    primal-dual active-set (semismooth-Newton) rule — with no dual-
+    magnitude heuristics. Re-classifying from the polish solve's own
+    (x, reconstructed mu) makes the polish a PDAS iteration that
+    corrects its own misclassifications.
+
+    ``inflate``: optional proximity margin in UNSCALED units (weights
+    ``wk``) applied to the branch boundaries. Used only for the initial
+    classification from a coarse ADMM state, where t still carries
+    O(residual) error and bounds about to become active are best
+    treated as active (the PDAS updates drop wrong guesses). Pass 0
+    for exact-branch classification.
 
     Returns (low, up, surf, apex): low/up (kb, B) bool; surf/apex
-    (ncones, B) bool, mutually exclusive with interior = ~(surf|apex).
+    (ncones, B) bool, mutually exclusive; interior = ~(surf|apex).
     """
-    f32 = s.hi.dtype
-    B = s.hi.shape[-1]
+    B = t.hi.shape[-1]
     if kb:
-        sb = s.hi[:kb]
-        wb = wk[:kb]
-        low = jnp.isfinite(lbc.hi) & ((sb - lbc.hi) * wb < act_tol)
-        up = jnp.isfinite(ubc.hi) & ((ubc.hi - sb) * wb < act_tol) & ~low
+        tb = t.hi[:kb]
+        m = inflate / wk[:kb] if inflate else 0.0
+        low = jnp.isfinite(lbc.hi) & (tb < lbc.hi + m)
+        up = jnp.isfinite(ubc.hi) & (tb > ubc.hi - m) & ~low
     else:
         low = jnp.zeros((0, B), bool)
         up = jnp.zeros((0, B), bool)
     if nc:
         ncones = nc // 3
-        st = s.hi[kb:].reshape(ncones, 3, B)
+        t3 = t.hi[kb:].reshape(ncones, 3, B)
         wt = wk[kb:].reshape(ncones, 3, B)
-        # unscaled dual magnitude per cone
-        lam_u = (
-            jnp.abs(mu.hi[kb:]) * wk[kb:] * rho[None, :]
-        ).reshape(ncones, 3, B).max(axis=1)
-        dual_on = lam_u > act_tol
-        fx, fy, fz = st[:, 0], st[:, 1], st[:, 2]
+        fx, fy, fz = t3[:, 0], t3[:, 1], t3[:, 2]
+        mu_f = mu_eff.hi
         nxy = jnp.sqrt(fx * fx + fy * fy)
-        g = nxy - mu_eff.hi * fz
-        apex = (
-            (jnp.abs(fz) * wt[:, 2] < act_tol)
-            & (nxy * wt[:, 0] < act_tol)
-            & dual_on
-        )
-        surf = ~apex & (jnp.abs(g) * wt[:, 0] < act_tol) & dual_on
+        m = inflate / wt[:, 2] if inflate else 0.0
+        inside = mu_f * fz - nxy >= m          # strictly feasible at t
+        apex = ~inside & (fz + mu_f * nxy < 0)  # t in the polar cone
+        surf = ~inside & ~apex
     else:
         apex = jnp.zeros((0, B), bool)
         surf = jnp.zeros((0, B), bool)
@@ -244,6 +244,57 @@ def _ns_steps(X: Array, Mb: Array, steps: int) -> Array:
     return X
 
 
+def _ns_refresh_guarded(X: Array, Mb: Array, steps: int):
+    """Guarded Newton-Schulz refresh of an inverse seed against a moved
+    KKT. Per instance, keeps the best-residual iterate seen (NS squares
+    the residual DOWN only when < 1; a big row change pushes it above 1
+    and the plain iteration diverges). Returns ``(X_best, resid)``."""
+    N2 = Mb.shape[-1]
+    f32 = Mb.dtype
+    hi_p = jax.lax.Precision.HIGHEST
+    mm = lambda a, b: jnp.matmul(a, b, precision=hi_p)
+    eyeN = jnp.eye(N2, dtype=f32)
+    eye2 = 2.0 * eyeN
+
+    def resid_inf(P):
+        r = jnp.max(jnp.sum(jnp.abs(P - eyeN), axis=-1), axis=-1)
+        return jnp.where(jnp.isfinite(r), r, jnp.inf)
+
+    P = mm(Mb, X)
+    r_best = resid_inf(P)
+    X_best = X
+    for _ in range(steps):
+        # restart diverged iterates from the best seen (keeps P finite)
+        ok = (resid_inf(P) < 1.0)[:, None, None]
+        X = jnp.where(ok, X, X_best)
+        P = jnp.where(ok, P, mm(Mb, X_best))
+        X = mm(X, eye2 - P)
+        P = mm(Mb, X)
+        r = resid_inf(P)
+        better = r < r_best
+        X_best = jnp.where(better[:, None, None], X, X_best)
+        r_best = jnp.minimum(r, r_best)
+    return X_best, r_best
+
+
+def _seed_refresh_or_rebuild(seed: Array, Mb: Array, steps: int) -> Array:
+    """Refresh a carried seed; instances whose refresh does not
+    contract (their active-set rows changed by O(1) — exactly the
+    retried/re-classified ones, for which Newton-Schulz from the old
+    inverse diverges) get a full cold seed rebuild instead. The rebuild
+    runs under `lax.cond`, so batches where every refresh contracts
+    (sequential warm replay, unchanged active sets) never pay for it.
+    """
+    X, r = _ns_refresh_guarded(seed, Mb, steps)
+    bad = r > 0.3
+
+    def rebuild(x):
+        Xc = _polish_seed_f32(Mb)
+        return jnp.where(bad[:, None, None], Xc, x)
+
+    return jax.lax.cond(jnp.any(bad), rebuild, lambda x: x, X)
+
+
 def _polish_seed_f32(Mb: Array, ns_iters: int = 48) -> Array:
     """f32 MXU inverse seed of ``M2 = [[Q, A2'],[A2, -D]]`` (batch-last
     hi words in, batch-leading (B, N2, N2) seed out).
@@ -273,10 +324,23 @@ def _polish_seed_f32(Mb: Array, ns_iters: int = 48) -> Array:
     X = Mb / jnp.maximum(fro2, 1e-30)[:, None, None]  # M symmetric
     eye2 = 2.0 * jnp.eye(N2, dtype=f32)
 
+    # mixed precision: NS is self-correcting, so the long linear
+    # approach phase runs on fast low-precision MXU passes (residual
+    # plateaus ~1e-2) and only the last few quadratic steps pay for
+    # HIGHEST (6-pass bf16) to reach the f32 floor — ~3x cheaper than
+    # all-HIGHEST at the same final residual.
+    lo_p = jax.lax.Precision.DEFAULT
+    mm_lo = lambda a, b: jnp.matmul(a, b, precision=lo_p)
+    hi_iters = min(6, ns_iters)
+
+    def body_lo(_, X):
+        return mm_lo(X, eye2 - mm_lo(Mb, X))
+
     def body(_, X):
         return mm(X, eye2 - mm(Mb, X))
 
-    X = jax.lax.fori_loop(0, ns_iters, body, X)
+    X = jax.lax.fori_loop(0, ns_iters - hi_iters, body_lo, X)
+    X = jax.lax.fori_loop(0, hi_iters, body, X)
 
     if os.environ.get("FCCQP_POLISH_DEBUG"):
         R = jnp.eye(N2, dtype=f32) - mm(Mb, X)
@@ -295,8 +359,16 @@ def _solve_structured(
 
     Applies the true KKT in structured block form (never materializes
     the (N2, N2, B) ds matrix) and the f32 seed inverse on the MXU.
+
+    Refinement is mixed-cost: the early passes compute residuals with
+    HIGHEST-precision MXU matmuls against the ds KKT blocks (cheap,
+    ~1e-7-relative residual accuracy — plenty while the iterate error
+    is >> that), and only the FINAL pass pays for the exact
+    error-free-transform ds mat-vecs (latency-bound fori chains) whose
+    residual exactness sets the converged accuracy.
     """
     n = Q.hi.shape[0]
+    m2 = D.shape[0]
     hi_p = jax.lax.Precision.HIGHEST
 
     def apply32(t_hi: Array, b_hi: Array):
@@ -312,12 +384,42 @@ def _solve_structured(
         bot = ds.sub(matvec_ds(A2t, x), ds.mul_f32(y, D))
         return top, bot
 
+    # cheap-residual operator: batched MXU matmuls against the ds KKT
+    # blocks, hi/lo cross terms included so the residual reflects the
+    # full ds operator at f32-matmul accuracy
+    Qb_hi = jnp.moveaxis(Q.hi, -1, 0)
+    Qb_lo = jnp.moveaxis(Q.lo, -1, 0)
+    A2b_hi = jnp.moveaxis(A2.hi, -1, 0)
+    A2b_lo = jnp.moveaxis(A2.lo, -1, 0)
+    A2tb_hi = jnp.swapaxes(A2b_hi, -1, -2)
+    A2tb_lo = jnp.swapaxes(A2b_lo, -1, -2)
+
+    def m2_apply_f32(x: DS, y: DS):
+        mm = lambda a, b: jnp.matmul(a, b, precision=hi_p)
+        xb_hi = jnp.moveaxis(x.hi, -1, 0)[:, :, None]
+        xb = xb_hi + jnp.moveaxis(x.lo, -1, 0)[:, :, None]
+        yb_hi = jnp.moveaxis(y.hi, -1, 0)[:, :, None]
+        yb = yb_hi + jnp.moveaxis(y.lo, -1, 0)[:, :, None]
+        top = (
+            mm(Qb_hi, xb) + mm(Qb_lo, xb_hi)
+            + mm(A2tb_hi, yb) + mm(A2tb_lo, yb_hi)
+        )[:, :, 0]
+        bot = (mm(A2b_hi, xb) + mm(A2b_lo, xb_hi))[:, :, 0]
+        top = jnp.moveaxis(top, 0, -1)
+        bot = jnp.moveaxis(bot, 0, -1) - D * (y.hi + y.lo)
+        return top, bot
+
     xh, yh = apply32(r1.hi, r2.hi)
     x, y = ds.from_f32(xh), ds.from_f32(yh)
-    for _ in range(passes):
-        tx, ty = m2_apply(x, y)
-        rx = ds.sub(r1, tx)
-        ry = ds.sub(r2, ty)
+    for p in range(passes):
+        if p + 1 < passes:
+            txh, tyh = m2_apply_f32(x, y)
+            rx = ds.sub(r1, ds.from_f32(txh))
+            ry = ds.sub(r2, ds.from_f32(tyh))
+        else:
+            tx, ty = m2_apply(x, y)
+            rx = ds.sub(r1, tx)
+            ry = ds.sub(r2, ty)
         dxh, dyh = apply32(rx.hi, ry.hi)
         x = ds.add(x, ds.from_f32(dxh))
         y = ds.add(y, ds.from_f32(dyh))
@@ -339,6 +441,7 @@ def polish_reduced(
     eps_fcone: float,
     act_tol: float,
     newton_steps: int = 2,
+    seed: Array | None = None,
 ) -> PolishResult:
     """Attempt an active-set polish of every instance in the batch.
 
@@ -346,6 +449,13 @@ def polish_reduced(
     in the SCALED problem space; acceptance residuals are weighted back
     to unscaled units (``wk``, ``e_scale``) so the eps contract matches
     the plain ADMM path.
+
+    ``seed``: optional (B, N2, N2) f32 inverse seed from a previous
+    polish attempt (returned as ``PolishResult.seed``). Re-polish
+    retries pass it back so the seed build is a handful of
+    Newton--Schulz refresh steps against the re-classified KKT instead
+    of the full cold iteration — the active set of a retried instance
+    moved only a few rows, which NS absorbs quadratically.
     """
     from fcc_qp_tpu.core.ds_engine import project_cone_ds
 
@@ -358,41 +468,95 @@ def polish_reduced(
     p = kb + nc
     mu_eff = qps.friction_coeffs
 
-    low, up, surf, apex = classify_active(
-        s, mu_dual, rho, lbc, ubc, mu_eff, kb, nc, wk, act_tol
+    # initial classification: projection branch of the exact ADMM
+    # pre-projection point t = s + mu, inflated by act_tol (t still
+    # carries O(coarse residual) error); PDAS re-classifications below
+    # use the exact branch (inflate=0)
+    t0 = ds.add(s, mu_dual)
+    low, up, surf, apex = classify_branch(
+        t0, lbc, ubc, mu_eff, kb, nc, wk, inflate=act_tol
     )
 
-    # --- static box pin rows (kb, n, B) ---
+    sel_np = np.zeros((kb, nv), np.float32)
     if kb:
-        act_box = (low | up).astype(f32)
-        sel = np.zeros((kb, nv), np.float32)
-        sel[np.arange(kb), np.asarray(ci[:kb])] = 1.0
-        Rbox = DS(
-            jnp.asarray(sel)[:, :, None] * act_box[:, None, :],
-            jnp.zeros((kb, nv, B), f32),
-        )
-        rhs_box = ds.where(
-            low, lbc, ds.where(up, ubc, ds.zeros((kb, B), f32))
-        )
-    else:
-        act_box = jnp.zeros((0, B), f32)
-        Rbox = ds.zeros((0, nv, B), f32)
-        rhs_box = ds.zeros((0, B), f32)
-
-    if nc:
-        row_act = jnp.stack(
-            [surf | apex, apex, apex], axis=1
-        ).reshape(nc, B).astype(f32)
-    else:
-        row_act = jnp.zeros((0, B), f32)
-    act_rows = jnp.concatenate([act_box, row_act], axis=0)     # (p, B)
-    D = jnp.concatenate(
-        [jnp.zeros((m, B), f32), 1.0 - act_rows], axis=0
-    )                                                          # (m2, B)
+        sel_np[np.arange(kb), np.asarray(ci[:kb])] = 1.0
+    sel = jnp.asarray(sel_np)
     r1 = ds.neg(qps.b)
     r2_eq = qps.b_eq
     rhs_cone = ds.zeros((nc, B), f32)  # homogeneous constraints
-    r2_tail = _concat0(rhs_box, rhs_cone)
+
+    def build_rows(low, up, surf, apex):
+        """Masked pin rows + rhs + (2,2) diagonal for the current
+        active-set guess (static shapes; inactive rows zeroed with a
+        unit diagonal so their multipliers are exactly 0)."""
+        if kb:
+            act_box = (low | up).astype(f32)
+            Rbox = DS(
+                sel[:, :, None] * act_box[:, None, :],
+                jnp.zeros((kb, nv, B), f32),
+            )
+            rhs_box = ds.where(
+                low, lbc, ds.where(up, ubc, ds.zeros((kb, B), f32))
+            )
+        else:
+            act_box = jnp.zeros((0, B), f32)
+            Rbox = ds.zeros((0, nv, B), f32)
+            rhs_box = ds.zeros((0, B), f32)
+        if nc:
+            row_act = jnp.stack(
+                [surf | apex, apex, apex], axis=1
+            ).reshape(nc, B).astype(f32)
+        else:
+            row_act = jnp.zeros((0, B), f32)
+        act_rows = jnp.concatenate([act_box, row_act], axis=0)   # (p, B)
+        D = jnp.concatenate(
+            [jnp.zeros((m, B), f32), 1.0 - act_rows], axis=0
+        )                                                        # (m2, B)
+        r2 = _concat0(r2_eq, _concat0(rhs_box, rhs_cone))
+        return Rbox, D, r2
+
+    def reconstruct_duals(x, y, low, up, surf, apex):
+        """rho * mu = lambda at the ADMM fixed point: scaled ADMM duals
+        from the KKT multipliers of the CURRENT active set."""
+        y_box = DS(y.hi[m:m + kb], y.lo[m:m + kb])
+        y_cone = DS(y.hi[m + kb:], y.lo[m + kb:])
+        if kb:
+            lam_box = ds.where(
+                (low | up), y_box, ds.zeros((kb, B), f32)
+            )
+        else:
+            lam_box = y_box
+        if nc:
+            lam_fin = DS(
+                x.hi[ls:ls + nc].reshape(ncones, 3, B),
+                x.lo[ls:ls + nc].reshape(ncones, 3, B),
+            )
+            _, gx, gy = _cone_geometry(lam_fin)
+            y3 = DS(
+                y_cone.hi.reshape(ncones, 3, B),
+                y_cone.lo.reshape(ncones, 3, B),
+            )
+            y0 = DS(y3.hi[:, 0], y3.lo[:, 0])
+
+            def cone_coord(i, gcomp: DS) -> DS:
+                yi = DS(y3.hi[:, i], y3.lo[:, i])
+                surf_val = ds.mul(y0, gcomp)
+                return ds.where(
+                    surf, surf_val,
+                    ds.where(apex, yi, ds.zeros((ncones, B), f32)),
+                )
+
+            lx = cone_coord(0, gx)
+            ly = cone_coord(1, gy)
+            lz = cone_coord(2, ds.neg(mu_eff))
+            lam_cone = DS(
+                jnp.stack([lx.hi, ly.hi, lz.hi], axis=1).reshape(nc, B),
+                jnp.stack([lx.lo, ly.lo, lz.lo], axis=1).reshape(nc, B),
+            )
+            lam_all = _concat0(lam_box, lam_cone)
+        else:
+            lam_all = lam_box
+        return ds.mul_f32(lam_all, 1.0 / rho[None, :])
 
     if nc:
         lam_lin = DS(
@@ -413,9 +577,21 @@ def polish_reduced(
         lam_lin = None
         eta = None
 
-    X32 = None
-    x = None
-    for step in range(newton_steps):
+    # --- PDAS loop: each step solves the equality-KKT of the current
+    # active-set guess, reconstructs the ADMM duals from the KKT
+    # multipliers, and re-classifies from the branch of t = x + mu —
+    # dropping pins with wrong-sign multipliers and adding violated
+    # ones — while re-linearizing the curved cone rows (SQP). Wrong
+    # initial guesses are corrected instead of rejected.
+    #
+    # The loop is a lax.while_loop with a CHANGE-DRIVEN exit: it stops
+    # as soon as no instance's classification flipped AND no cone
+    # linearization point moved materially — so a warm batch (correct
+    # classification inherited from the previous timestep) pays for
+    # exactly ONE solve, while a cold batch runs up to `newton_steps`.
+    ci_np = np.asarray(ci)
+
+    def assemble(low, up, surf, apex, lam_lin, eta):
         if nc:
             Rcone = _cone_rows(lam_lin, mu_eff, surf, apex, nv, ls)
             Q_aug = _curvature_augmented_q(
@@ -424,69 +600,92 @@ def polish_reduced(
         else:
             Rcone = ds.zeros((0, nv, B), f32)
             Q_aug = qps.Q
+        Rbox, D, r2 = build_rows(low, up, surf, apex)
         A2 = _concat_rows(qps.A_eq, _concat_rows(Rbox, Rcone))
-        A2t = transpose_ds(A2)
-        Mb = _assemble_m2_f32(Q_aug.hi, A2.hi, D)
-        if X32 is None:
-            X32 = _polish_seed_f32(Mb)
-        else:
-            # rows/curvature moved slightly: Newton-Schulz steps
-            # re-polish the seed to the f32 floor against the
-            # re-linearized KKT (else refinement contraction degrades
-            # to the O(step) row change)
-            X32 = _ns_steps(X32, Mb, 2)
-        x, y = _solve_structured(
-            X32, Q_aug, A2, A2t, D,
-            r1, _concat0(r2_eq, r2_tail),
+        return Q_aug, A2, transpose_ds(A2), D, r2
+
+    def next_classification(x, y, mu_new):
+        xc_s = DS(x.hi[ci_np], x.lo[ci_np])
+        t_s = ds.add(xc_s, mu_new)
+        nlow, nup, nsurf, napex = classify_branch(
+            t_s, lbc, ubc, mu_eff, kb, nc, wk, inflate=0.0
         )
-        if nc and step + 1 < newton_steps:
-            lam_lin = DS(
+        if nc:
+            nlam = DS(
                 x.hi[ls:ls + nc].reshape(ncones, 3, B),
                 x.lo[ls:ls + nc].reshape(ncones, 3, B),
             )
-            eta = y.hi[m + kb:].reshape(ncones, 3, B)[:, 0]
+            neta = y.hi[m + kb:].reshape(ncones, 3, B)[:, 0]
+        else:
+            nlam, neta = lam_lin, eta
+        return nlow, nup, nsurf, napex, nlam, neta
 
-    # --- dual reconstruction: rho * mu = lambda at the ADMM fixed point
-    y_box = DS(y.hi[m:m + kb], y.lo[m:m + kb])
-    y_cone = DS(y.hi[m + kb:], y.lo[m + kb:])
-    if kb:
-        lam_box = ds.where(
-            (low | up), y_box, ds.zeros((kb, B), f32)
+    def changed_flag(low, up, surf, apex, lam_lin, nlow, nup, nsurf,
+                     napex, nlam):
+        flips = (
+            jnp.any(nlow != low) | jnp.any(nup != up)
+            | jnp.any(nsurf != surf) | jnp.any(napex != apex)
         )
-    else:
-        lam_box = y_box
-    if nc:
-        lam_fin = DS(
-            x.hi[ls:ls + nc].reshape(ncones, 3, B),
-            x.lo[ls:ls + nc].reshape(ncones, 3, B),
-        )
-        _, gx, gy = _cone_geometry(lam_fin)
-        y3 = DS(
-            y_cone.hi.reshape(ncones, 3, B),
-            y_cone.lo.reshape(ncones, 3, B),
-        )
-        y0 = DS(y3.hi[:, 0], y3.lo[:, 0])
-
-        def cone_coord(i, gcomp: DS) -> DS:
-            yi = DS(y3.hi[:, i], y3.lo[:, i])
-            surf_val = ds.mul(y0, gcomp)
-            return ds.where(
-                surf, surf_val,
-                ds.where(apex, yi, ds.zeros((ncones, B), f32)),
+        if nc:
+            wl3 = wk[kb:].reshape(ncones, 3, B)
+            moved = jnp.any(
+                jnp.abs(nlam.hi - lam_lin.hi) * wl3 > 1e-4
             )
+            flips = flips | moved
+        return flips
 
-        lx = cone_coord(0, gx)
-        ly = cone_coord(1, gy)
-        lz = cone_coord(2, ds.neg(mu_eff))
-        lam_cone = DS(
-            jnp.stack([lx.hi, ly.hi, lz.hi], axis=1).reshape(nc, B),
-            jnp.stack([lx.lo, ly.lo, lz.lo], axis=1).reshape(nc, B),
-        )
-        lam_all = _concat0(lam_box, lam_cone)
+    # first solve (seed build / external-seed refresh happens here)
+    Q_aug, A2, A2t, D, r2 = assemble(low, up, surf, apex, lam_lin, eta)
+    Mb = _assemble_m2_f32(Q_aug.hi, A2.hi, D)
+    if seed is None:
+        X32 = _polish_seed_f32(Mb)
     else:
-        lam_all = lam_box
-    inv_rho = 1.0 / rho[None, :]
-    mu_new = ds.mul_f32(lam_all, inv_rho)
+        # retry / replay: refresh the carried seed, rebuilding per
+        # instance where the active set moved too far
+        X32 = _seed_refresh_or_rebuild(seed, Mb, 8)
+    x, y = _solve_structured(X32, Q_aug, A2, A2t, D, r1, r2)
+    mu_new = reconstruct_duals(x, y, low, up, surf, apex)
+
+    if newton_steps > 1:
+        nlow, nup, nsurf, napex, nlam, neta = next_classification(
+            x, y, mu_new
+        )
+        changed = changed_flag(
+            low, up, surf, apex, lam_lin, nlow, nup, nsurf, napex, nlam
+        )
+
+        def cond(st):
+            return (st[0] < newton_steps) & st[1]
+
+        def body(st):
+            (it, _, low, up, surf, apex, lam_lin, eta, X32,
+             x, y, mu_new) = st
+            Q_aug, A2, A2t, D, r2 = assemble(
+                low, up, surf, apex, lam_lin, eta
+            )
+            Mb = _assemble_m2_f32(Q_aug.hi, A2.hi, D)
+            # re-classification flipped rows by O(1) for exactly the
+            # instances this step targets: refresh, rebuilding where
+            # the refresh does not contract
+            X32 = _seed_refresh_or_rebuild(X32, Mb, 4)
+            x, y = _solve_structured(X32, Q_aug, A2, A2t, D, r1, r2)
+            mu_new = reconstruct_duals(x, y, low, up, surf, apex)
+            nlow, nup, nsurf, napex, nlam, neta = next_classification(
+                x, y, mu_new
+            )
+            changed = changed_flag(
+                low, up, surf, apex, lam_lin, nlow, nup, nsurf, napex,
+                nlam,
+            )
+            return (it + 1, changed, nlow, nup, nsurf, napex, nlam,
+                    neta, X32, x, y, mu_new)
+
+        (_, _, low, up, surf, apex, lam_lin, eta, X32,
+         x, y, mu_new) = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(1), changed, nlow, nup, nsurf, napex, nlam,
+             neta, X32, x, y, mu_new),
+        )
 
     # --- self-validating acceptance: projection consistency at full eps
     xc = DS(x.hi[np.asarray(ci)], x.lo[np.asarray(ci)])
@@ -526,31 +725,9 @@ def polish_reduced(
             "polish: accept={a} x_res={x} lam_res={l} eq_res={e}",
             a=accept, x=x_res, l=lam_res, e=eq_res,
         )
-    if os.environ.get("FCCQP_POLISH_DEBUG_CONES") and nc:
-        lam_dbg = lam_fin
-        nxy_dbg = jnp.sqrt(
-            lam_dbg.hi[:, 0] ** 2 + lam_dbg.hi[:, 1] ** 2
-        )
-        g_dbg = nxy_dbg - mu_eff.hi * lam_dbg.hi[:, 2]
-        lin_dbg = (
-            _cone_geometry(lam_lin)[1].hi * lam_dbg.hi[:, 0]
-            + _cone_geometry(lam_lin)[2].hi * lam_dbg.hi[:, 1]
-            - mu_eff.hi * lam_dbg.hi[:, 2]
-        )
-        jax.debug.print(
-            "g(x_final)={g}  lin_row(x_final)={l}", g=g_dbg[:, 0],
-            l=lin_dbg[:, 0],
-        )
-        jax.debug.print(
-            "cones: surf={s} apex={a}\n s_tail={st}\n x_tail={xt}\n "
-            "mu_new={mn}\n wres_cone={wr}",
-            s=surf[:, 0], a=apex[:, 0],
-            st=s.hi[kb:, 0], xt=xc.hi[kb:, 0],
-            mn=mu_new.hi[kb:, 0], wr=wres[kb:, 0],
-        )
     return PolishResult(
         x=x, mu=mu_new, s=s_new, accept=accept, x_res=x_res,
-        lam_res=lam_res,
+        lam_res=lam_res, seed=X32,
     )
 
 

@@ -34,6 +34,31 @@ class TestRobotModels:
             assert s.nc % 3 == 0
             assert s.lambda_c_start + s.nc <= s.num_vars
 
+    @pytest.mark.parametrize("model", [QUADRUPED, HUMANOID])
+    def test_model_batches_solve_at_full_eps(self, model):
+        """BASELINE configs 3-4: domain-randomized quadruped and
+        humanoid (n=76) batches solve through the flagship ds engine to
+        eps=1e-6, 100% convergence (small batch here; `bench.py
+        --model` runs the same configs at throughput scale)."""
+        from fcc_qp_tpu.core.ds_engine import solve_batched_ds, to_ds_batch
+
+        bds = to_ds_batch(
+            stack_qp_dicts(generate_osc_batch(model, 8, seed=3))
+        )
+        opts = FCCQPOptions(
+            max_iter=3000, rho=0.05, eps_fcone=1e-6, eps_bound=1e-6,
+            presolve="operator", scaling=True, splitting="constrained",
+            polish=True, polish_rounds=3, polish_newton_steps=4,
+        )
+        sol, _ = solve_batched_ds(bds, model.shape, opts)
+        assert (np.asarray(sol.details.solve_status) == 0).all()
+        assert float(
+            np.max(np.asarray(sol.details.admm_residual_bounds))
+        ) <= 1e-6
+        assert float(
+            np.max(np.asarray(sol.details.admm_residual_friction_cone))
+        ) <= 1e-6
+
     @pytest.mark.parametrize("model", [CASSIE, QUADRUPED])
     def test_generated_qps_well_posed(self, model):
         qps = generate_osc_sequence(model, 5, seed=1)

@@ -15,7 +15,7 @@ from fcc_qp_tpu.models.osc import CASSIE, generate_osc_batch
 from fcc_qp_tpu.utils.io import stack_qp_dicts
 
 BASE = FCCQPOptions(
-    max_iter=400, rho=1.0, eps_fcone=1e-6, eps_bound=1e-6,
+    max_iter=2000, rho=0.05, eps_fcone=1e-6, eps_bound=1e-6,
     presolve="operator", scaling=True, splitting="constrained",
     polish=False, phase1_tol=0.0,
 )
@@ -24,7 +24,7 @@ BASE = FCCQPOptions(
 @pytest.fixture(scope="module")
 def batch():
     return to_ds_batch(
-        stack_qp_dicts(generate_osc_batch(CASSIE, 32, seed=5))
+        stack_qp_dicts(generate_osc_batch(CASSIE, 16, seed=5))
     )
 
 
