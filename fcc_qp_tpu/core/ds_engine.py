@@ -921,6 +921,53 @@ def _scale_reduced(qp, shape, opts):
     return qp, sc
 
 
+def _lazy_exact(opts: FCCQPOptions) -> bool:
+    """Whether the reduced engine defers the ds-exact operator build:
+    requires the hybrid factorization AND an f32 approach phase ending
+    in a PDAS polish (which self-solves in ds) — then only
+    polish-rejected instances ever touch the ds operator, and the
+    exact build can be cond-gated + capacity-gathered."""
+    coarse = max(
+        opts.phase1_tol, opts.polish_tol if opts.polish else 0.0
+    )
+    return (
+        opts.kkt_factor == "hybrid"
+        and opts.polish
+        and coarse > max(opts.eps_bound, opts.eps_fcone)
+    )
+
+
+def _factor_reduced_f32(
+    qp: QPBatchDS, rho: Array, ci: np.ndarray, mask: np.ndarray,
+    kkt_seed: Optional[Array] = None,
+):
+    """f32-only reduced factorization: the Schur-free Newton-Schulz
+    KKT inverse seed, sliced to the hot-loop blocks — no ds refinement.
+    Returns ``(Fcc32, xc_const32, Fcolj32, x_const32, X32)``; accuracy
+    is the f32 seed floor (~1e-3 relative on equilibrated KKTs), enough
+    for the coarse approach phase + PDAS polish pipeline."""
+    n = qp.Q.hi.shape[0]
+    rho_diag = rho[None, :] * jnp.asarray(mask, qp.Q.hi.dtype)[:, None]
+    with jax.default_matmul_precision("highest"):
+        if kkt_seed is None:
+            X32, _ = kkt_inverse_f32_seed(qp.Q, qp.A_eq, rho_diag)
+        else:
+            X32, _ = kkt_inverse_f32_refresh(
+                kkt_seed, qp.Q, qp.A_eq, rho_diag
+            )
+        r = jnp.concatenate([-qp.b.hi, qp.b_eq.hi], axis=0)
+        xfull = jnp.einsum(
+            "ijb,jb->ib", X32, r,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    Fci = X32[:n][:, ci]                       # (n, k, B) = F[:, ci]
+    Fcolj = jnp.swapaxes(Fci, 0, 1)            # (k, n, B) j-major
+    Fcc = jnp.swapaxes(Fci[ci], 0, 1)          # (k, k, B) j-major
+    x_const = xfull[:n]
+    xc_const = x_const[ci]
+    return Fcc, xc_const, Fcolj, x_const, X32
+
+
 def _reduced_factor_fn(qps, opts, ci, mask):
     """4-tuple factorization interface (Fcc, xc_const, Fcolj, x_const)
     for rho refactorization inside the iterate loop (the carried f32
@@ -998,7 +1045,22 @@ def _prepare_reduced(
     else:
         eq_c = jnp.zeros((B,), jnp.bool_)
 
-    if opts.kkt_factor == "hybrid":
+    lazy = _lazy_exact(opts)
+    if opts.kkt_factor == "hybrid" and lazy:
+        # f32-only operator: the f32 approach phase + PDAS polish (its
+        # own ds-refined KKT solves) never read the lo words, so the
+        # expensive ds column refinement is DEFERRED to a cond-gated,
+        # capacity-gathered build just before the ds endgame — which a
+        # fully polish-accepted batch (the warm-replay common case)
+        # skips entirely (`_iterate_reduced`).
+        Fcc32, xc32, Fcolj32, x32, X32 = _factor_reduced_f32(
+            qps, rho0, ci, mask, kkt_seed=kkt_seed
+        )
+        Fcc0 = ds.from_f32(Fcc32)
+        xc_const0 = ds.from_f32(xc32)
+        Fcolj0 = ds.from_f32(Fcolj32)
+        x_const0 = ds.from_f32(x32)
+    elif opts.kkt_factor == "hybrid":
         Fcc0, xc_const0, Fcolj0, x_const0, X32 = _factor_reduced_hybrid(
             qps, rho0, ci, mask, opts.kkt_refine_steps + 1,
             kkt_seed=kkt_seed,
@@ -1517,6 +1579,54 @@ def _iterate_reduced(
         else:
             # un-done everything: "crossed tau" is not converged
             st = st._replace(done=jnp.zeros_like(st.done))
+
+    if _lazy_exact(opts):
+        # the prepare phase built only the f32 operator (enough for the
+        # approach phase + the self-solving PDAS polish); instances the
+        # polish never accepted need the ds-exact operator for the
+        # 1e-6 endgame. Build it here, cond-gated (a fully accepted
+        # batch — the warm-replay common case — skips it entirely) and
+        # capacity-gathered onto the unaccepted instances.
+        need = ~(st.done | (st.itv >= opts.max_iter))
+        C3 = min(B, max(128, B // 4))
+
+        def _gl(a: DS, idx) -> DS:
+            return DS(a.hi[..., idx], a.lo[..., idx])
+
+        def build_exact(blocks):
+            Fcc, xc_const, Fcolj, x_const = blocks
+            idx = jnp.argsort(-need.astype(f32), stable=True)[:C3]
+            sub = QPBatchDS(
+                Q=_gl(qps.Q, idx), b=_gl(qps.b, idx),
+                A_eq=_gl(qps.A_eq, idx), b_eq=_gl(qps.b_eq, idx),
+                friction_coeffs=_gl(qps.friction_coeffs, idx),
+                lb=_gl(qps.lb, idx), ub=_gl(qps.ub, idx),
+            )
+            Fcc_s, xc_s, Fcol_s, x0_s, _ = _factor_reduced_hybrid(
+                sub, st.rho[idx], ci, mask, opts.kkt_refine_steps + 1
+            )
+            sel = need[idx]
+
+            def scat(full: DS, sub_v: DS) -> DS:
+                m_ = sel.reshape((1,) * (full.hi.ndim - 1) + (-1,))
+                hi = full.hi.at[..., idx].set(
+                    jnp.where(m_, sub_v.hi, full.hi[..., idx])
+                )
+                lo = full.lo.at[..., idx].set(
+                    jnp.where(m_, sub_v.lo, full.lo[..., idx])
+                )
+                return DS(hi, lo)
+
+            return (scat(Fcc, Fcc_s), scat(xc_const, xc_s),
+                    scat(Fcolj, Fcol_s), scat(x_const, x0_s))
+
+        Fcc_e, xc_e, Fcol_e, x0_e = jax.lax.cond(
+            jnp.any(need), build_exact, lambda b: b,
+            (st.Fcc, st.xc_const, st.Fcolj, st.x_const),
+        )
+        st = st._replace(
+            Fcc=Fcc_e, xc_const=xc_e, Fcolj=Fcol_e, x_const=x0_e
+        )
 
     it_budget = (2 * n_chunks * K
                  + (opts.polish_rounds - 1) * opts.polish_interval)

@@ -352,20 +352,29 @@ def kkt_solve_ds(Q: DS, A: DS, rho: Array, r: DS, s: DS) -> DS:
 
 def assemble_kkt_ds(Q: DS, A: DS, rho: Array) -> DS:
     """Assemble the full KKT matrix [[Q+diag(rho), A'],[A, 0]] in ds,
-    batch-last: (n+m, n+m, B). rho (B,) uniform or (n, B) diagonal."""
+    batch-last: (n+m, n+m, B). rho (B,) uniform or (n, B) diagonal.
+
+    Assembly happens in batch-LEADING (B, N, N) layout — block writes
+    there are contiguous minor-dim updates the TPU handles at stream
+    rate, whereas the same `.at` block sets in batch-last layout cost
+    ~100x (measured 3 s vs 30 ms for (98, 98, 4096)) — then one
+    transposed copy back to the batch-last compute layout."""
     n, _, B = Q.hi.shape
     m = A.hi.shape[0]
     f32 = Q.hi.dtype
     H = ds.add(Q, DS(_rho_diag_mat(rho, n, f32), jnp.zeros_like(Q.hi)))
-    At = transpose_ds(A)
-    top_hi = jnp.concatenate([H.hi, At.hi], axis=1)
-    top_lo = jnp.concatenate([H.lo, At.lo], axis=1)
-    bot_hi = jnp.concatenate([A.hi, jnp.zeros((m, m, B), f32)], axis=1)
-    bot_lo = jnp.concatenate([A.lo, jnp.zeros((m, m, B), f32)], axis=1)
-    return DS(
-        jnp.concatenate([top_hi, bot_hi], axis=0),
-        jnp.concatenate([top_lo, bot_lo], axis=0),
-    )
+    N = n + m
+
+    def build(Hw, Aw):
+        Mb = jnp.zeros((B, N, N), f32)
+        Hb = jnp.moveaxis(Hw, -1, 0)
+        Ab = jnp.moveaxis(Aw, -1, 0)
+        Mb = Mb.at[:, :n, :n].set(Hb)
+        Mb = Mb.at[:, :n, n:].set(jnp.swapaxes(Ab, -1, -2))
+        Mb = Mb.at[:, n:, :n].set(Ab)
+        return jnp.moveaxis(Mb, 0, -1)
+
+    return DS(build(H.hi, A.hi), build(H.lo, A.lo))
 
 
 def newton_schulz_refine_ds(X: DS, M: DS, steps: int = 1) -> DS:

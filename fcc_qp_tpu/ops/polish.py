@@ -281,16 +281,30 @@ def _seed_refresh_or_rebuild(seed: Array, Mb: Array, steps: int) -> Array:
     """Refresh a carried seed; instances whose refresh does not
     contract (their active-set rows changed by O(1) — exactly the
     retried/re-classified ones, for which Newton-Schulz from the old
-    inverse diverges) get a full cold seed rebuild instead. The rebuild
-    runs under `lax.cond`, so batches where every refresh contracts
-    (sequential warm replay, unchanged active sets) never pay for it.
+    inverse diverges) get a full cold seed rebuild instead.
+
+    The rebuild is CAPACITY-LIMITED: the cold build is ~50x the refresh
+    cost, and at batch scale a handful of re-classified stragglers
+    would otherwise trigger it for the whole batch every PDAS step. At
+    most ``max(128, B//8)`` worst-residual instances are gathered into
+    a sub-batch, rebuilt there, and scattered back; instances beyond
+    capacity keep their (non-contracting) refresh, fail the downstream
+    acceptance test, and get another capacity's worth of rebuilds at
+    the next polish round. The whole branch runs under `lax.cond`, so
+    batches where every refresh contracts (sequential warm replay,
+    unchanged active sets) never pay for it.
     """
+    B = Mb.shape[0]
     X, r = _ns_refresh_guarded(seed, Mb, steps)
     bad = r > 0.3
+    C = min(B, max(128, B // 8))
 
     def rebuild(x):
-        Xc = _polish_seed_f32(Mb)
-        return jnp.where(bad[:, None, None], Xc, x)
+        # worst residuals first (stable order for determinism)
+        idx = jnp.argsort(-r, stable=True)[:C]
+        Xc = _polish_seed_f32(Mb[idx])
+        keep = bad[idx][:, None, None]
+        return x.at[idx].set(jnp.where(keep, Xc, x[idx]))
 
     return jax.lax.cond(jnp.any(bad), rebuild, lambda x: x, X)
 
@@ -620,16 +634,24 @@ def polish_reduced(
             nlam, neta = lam_lin, eta
         return nlow, nup, nsurf, napex, nlam, neta
 
-    def changed_flag(low, up, surf, apex, lam_lin, nlow, nup, nsurf,
-                     napex, nlam):
-        flips = (
-            jnp.any(nlow != low) | jnp.any(nup != up)
-            | jnp.any(nsurf != surf) | jnp.any(napex != apex)
-        )
+    def changed_per_instance(low, up, surf, apex, lam_lin, nlow, nup,
+                             nsurf, napex, nlam):
+        """(B,) bool — instances whose classification flipped or whose
+        cone linearization point moved materially."""
+        flips = jnp.zeros((B,), bool)
+        if kb:
+            flips = flips | jnp.any(nlow != low, axis=0) | jnp.any(
+                nup != up, axis=0
+            )
         if nc:
+            flips = flips | jnp.any(nsurf != surf, axis=0) | jnp.any(
+                napex != apex, axis=0
+            )
             wl3 = wk[kb:].reshape(ncones, 3, B)
             moved = jnp.any(
-                jnp.abs(nlam.hi - lam_lin.hi) * wl3 > 1e-4
+                jnp.max(jnp.abs(nlam.hi - lam_lin.hi) * wl3, axis=1)
+                > 1e-4,
+                axis=0,
             )
             flips = flips | moved
         return flips
@@ -641,8 +663,10 @@ def polish_reduced(
         X32 = _polish_seed_f32(Mb)
     else:
         # retry / replay: refresh the carried seed, rebuilding per
-        # instance where the active set moved too far
-        X32 = _seed_refresh_or_rebuild(seed, Mb, 8)
+        # instance where the active set moved too far. Two guarded
+        # steps suffice: a replay-drift (~0.1%) residual collapses
+        # quadratically, and anything bigger is rebuild territory.
+        X32 = _seed_refresh_or_rebuild(seed, Mb, 2)
     x, y = _solve_structured(X32, Q_aug, A2, A2t, D, r1, r2)
     mu_new = reconstruct_duals(x, y, low, up, surf, apex)
 
@@ -650,40 +674,49 @@ def polish_reduced(
         nlow, nup, nsurf, napex, nlam, neta = next_classification(
             x, y, mu_new
         )
-        changed = changed_flag(
+        changed_i = changed_per_instance(
             low, up, surf, apex, lam_lin, nlow, nup, nsurf, napex, nlam
         )
+        # seed maintenance in the PDAS body is gathered onto the
+        # changed instances (capacity-limited): unchanged instances'
+        # rows are identical, so their seeds stay valid — at batch
+        # scale a few flipped stragglers must not trigger full-batch
+        # (B, N2, N2) matmul streams every step
+        C2 = min(B, max(128, B // 8))
 
         def cond(st):
-            return (st[0] < newton_steps) & st[1]
+            return (st[0] < newton_steps) & jnp.any(st[1])
 
         def body(st):
-            (it, _, low, up, surf, apex, lam_lin, eta, X32,
+            (it, changed_i, low, up, surf, apex, lam_lin, eta, X32,
              x, y, mu_new) = st
             Q_aug, A2, A2t, D, r2 = assemble(
                 low, up, surf, apex, lam_lin, eta
             )
             Mb = _assemble_m2_f32(Q_aug.hi, A2.hi, D)
-            # re-classification flipped rows by O(1) for exactly the
-            # instances this step targets: refresh, rebuilding where
-            # the refresh does not contract
-            X32 = _seed_refresh_or_rebuild(X32, Mb, 4)
+            idx = jnp.argsort(
+                -changed_i.astype(Mb.dtype), stable=True
+            )[:C2]
+            X_sub = _seed_refresh_or_rebuild(X32[idx], Mb[idx], 2)
+            X32 = X32.at[idx].set(
+                jnp.where(changed_i[idx][:, None, None], X_sub, X32[idx])
+            )
             x, y = _solve_structured(X32, Q_aug, A2, A2t, D, r1, r2)
             mu_new = reconstruct_duals(x, y, low, up, surf, apex)
             nlow, nup, nsurf, napex, nlam, neta = next_classification(
                 x, y, mu_new
             )
-            changed = changed_flag(
+            changed_i = changed_per_instance(
                 low, up, surf, apex, lam_lin, nlow, nup, nsurf, napex,
                 nlam,
             )
-            return (it + 1, changed, nlow, nup, nsurf, napex, nlam,
+            return (it + 1, changed_i, nlow, nup, nsurf, napex, nlam,
                     neta, X32, x, y, mu_new)
 
         (_, _, low, up, surf, apex, lam_lin, eta, X32,
          x, y, mu_new) = jax.lax.while_loop(
             cond, body,
-            (jnp.int32(1), changed, nlow, nup, nsurf, napex, nlam,
+            (jnp.int32(1), changed_i, nlow, nup, nsurf, napex, nlam,
              neta, X32, x, y, mu_new),
         )
 

@@ -176,7 +176,7 @@ class TestSeedGuard:
         mask[ci] = 1.0
         rho = jnp.full((B,), jnp.float32(5e-5))
 
-        _, xc_h, _, x_h = _factor_reduced_hybrid(qp, rho, ci, mask, 2)
+        _, xc_h, _, x_h, _ = _factor_reduced_hybrid(qp, rho, ci, mask, 2)
         # f64 oracle: x from [[Q + diag(rho mask), A'],[A, 0]] [x;y] = [-b;beq]
         for i in range(B):
             K = np.zeros((n + m, n + m))
