@@ -171,46 +171,28 @@ def _curvature_augmented_q(
     return DS(Qh, Q.lo)
 
 
-def _cone_rows(
-    lam3: DS, mu_eff: DS, surf: Array, apex: Array, n: int, ls: int
+def _surf_rows(
+    lam3: DS, mu_eff: DS, surf: Array, n: int, ls: int
 ) -> DS:
-    """Masked cone constraint rows (nc, n, B) ds, linearized at lam3.
-
-    Per cone j (rows 3j..3j+2, columns ls+3j..ls+3j+2):
-      surface: row 3j = (lx/nxy, ly/nxy, -mu); rows 3j+1, 3j+2 zero.
-      apex:    identity pins on all three coordinates.
-      interior: all rows zero.
-    """
+    """Masked cone-SURFACE rows (ncones, n, B) ds, linearized at lam3:
+    row j = (gx, gy, -mu) at cone j's coordinates when surf_j, else 0.
+    (Apex and box pins are handled by row replacement in the (1,1)
+    block, not by extra rows — see `polish_reduced`.)"""
     ncones, _, B = lam3.hi.shape
-    nc = 3 * ncones
     f32 = lam3.hi.dtype
     _, gx, gy = _cone_geometry(lam3)
-    one = jnp.ones((ncones, B), f32)
-    zero = jnp.zeros((ncones, B), f32)
-    apex_f = apex.astype(f32)
 
-    def sel(surface_val: DS, apex_val: Array) -> DS:
-        return DS(
-            jnp.where(surf, surface_val.hi, jnp.where(apex, apex_val, 0.0)),
-            jnp.where(surf, surface_val.lo, 0.0),
-        )
+    def msk(v: DS) -> DS:
+        return DS(jnp.where(surf, v.hi, 0.0), jnp.where(surf, v.lo, 0.0))
 
-    b00 = sel(gx, one)
-    b01 = sel(gy, zero)
-    b02 = sel(ds.neg(mu_eff), zero)
-    b11 = DS(apex_f, zero)
-    b22 = DS(apex_f, zero)
-
-    r0 = np.arange(ncones) * 3
+    b0, b1, b2 = msk(gx), msk(gy), msk(ds.neg(mu_eff))
+    r0 = np.arange(ncones)
     c0 = ls + np.arange(ncones) * 3
-    Rh = jnp.zeros((nc, n, B), f32)
-    Rl = jnp.zeros((nc, n, B), f32)
-    for (dr, dc), blk in (
-        ((0, 0), b00), ((0, 1), b01), ((0, 2), b02),
-        ((1, 1), b11), ((2, 2), b22),
-    ):
-        Rh = Rh.at[r0 + dr, c0 + dc].set(blk.hi)
-        Rl = Rl.at[r0 + dr, c0 + dc].set(blk.lo)
+    Rh = jnp.zeros((ncones, n, B), f32)
+    Rl = jnp.zeros((ncones, n, B), f32)
+    for dc, blk in ((0, b0), (1, b1), (2, b2)):
+        Rh = Rh.at[r0, c0 + dc].set(blk.hi)
+        Rl = Rl.at[r0, c0 + dc].set(blk.lo)
     return DS(Rh, Rl)
 
 
@@ -226,6 +208,46 @@ def _assemble_m2_f32(Qh: Array, A2h: Array, D: Array) -> Array:
     Mb = jnp.zeros((B, N2, N2), f32)
     Mb = Mb.at[:, :n, :n].set(Qb)
     Mb = Mb.at[:, :n, n:].set(jnp.swapaxes(A2b, -1, -2))
+    Mb = Mb.at[:, n:, :n].set(A2b)
+    Mb = Mb.at[:, n:, n:].set(
+        -Db[:, :, None] * jnp.eye(m2, dtype=f32)
+    )
+    return Mb
+
+
+def _assemble_m2_masked(
+    Qh_aug: Array, pin: Array, A2h: Array, Dtail: Array
+) -> Array:
+    """Batch-leading (B, N2, N2) f32 assembly of the ROW-REPLACED
+    pinned KKT:
+
+        [[ Z_r Q + diag(pin),  Z_r A2' ],
+         [ A2,                 -diag(Dtail) ]]
+
+    with Z_r = diag(1 - pin): a pinned coordinate's row becomes e_i
+    (enforcing x_i = v_i via the rhs) while its COLUMN stays intact
+    (the pinned value still couples into every other equation). This
+    keeps the system at N2 = n + m + ncones — for Cassie 102 <= 128,
+    inside the MXU tile, where the symmetric formulation with appended
+    pin rows (N2 = 132) fell off the 128 alignment cliff and its
+    batched matmuls cost ~50x. The matrix is asymmetric; the
+    Newton-Schulz seed uses the transpose start and plain NS steps,
+    both of which need no symmetry.
+    """
+    n, _, B = Qh_aug.shape
+    m2 = A2h.shape[0]
+    N2 = n + m2
+    f32 = Qh_aug.dtype
+    Qb = jnp.moveaxis(Qh_aug, -1, 0)              # (B, n, n)
+    A2b = jnp.moveaxis(A2h, -1, 0)                # (B, m2, n)
+    pinb = jnp.moveaxis(pin, -1, 0)               # (B, n)
+    Db = jnp.moveaxis(Dtail, -1, 0)               # (B, m2)
+    zr = (1.0 - pinb)[:, :, None]
+    TL = zr * Qb + pinb[:, :, None] * jnp.eye(n, dtype=f32)
+    TR = zr * jnp.swapaxes(A2b, -1, -2)
+    Mb = jnp.zeros((B, N2, N2), f32)
+    Mb = Mb.at[:, :n, :n].set(TL)
+    Mb = Mb.at[:, :n, n:].set(TR)
     Mb = Mb.at[:, n:, :n].set(A2b)
     Mb = Mb.at[:, n:, n:].set(
         -Db[:, :, None] * jnp.eye(m2, dtype=f32)
@@ -335,7 +357,10 @@ def _polish_seed_f32(Mb: Array, ns_iters: int = 48) -> Array:
     mm = lambda a, b: jnp.matmul(a, b, precision=hi_p)
 
     fro2 = jnp.sum(Mb * Mb, axis=(-1, -2))
-    X = Mb / jnp.maximum(fro2, 1e-30)[:, None, None]  # M symmetric
+    # transpose seed: valid for symmetric AND the row-replaced
+    # (asymmetric) pinned KKT — residual eigenvalues of I - X0 M are
+    # 1 - sigma_i^2/||M||_F^2 in (0, 1) either way
+    X = jnp.swapaxes(Mb, -1, -2) / jnp.maximum(fro2, 1e-30)[:, None, None]
     eye2 = 2.0 * jnp.eye(N2, dtype=f32)
 
     # mixed precision: NS is self-correcting, so the long linear
@@ -365,14 +390,13 @@ def _polish_seed_f32(Mb: Array, ns_iters: int = 48) -> Array:
     return X
 
 
-def _solve_structured(
-    X32: Array, Q: DS, A2: DS, A2t: DS, D: Array,
+def _solve_structured_masked(
+    X32: Array, Q: DS, pin: Array, A2: DS, A2t: DS, Dtail: Array,
     r1: DS, r2: DS, passes: int = 3,
-) -> tuple[DS, DS]:
-    """Refined ds solve of [[Q, A2'],[A2, -D]] [x; y] = [r1; r2].
-
-    Applies the true KKT in structured block form (never materializes
-    the (N2, N2, B) ds matrix) and the f32 seed inverse on the MXU.
+) -> tuple[DS, DS, DS]:
+    """Refined ds solve of the row-replaced pinned KKT
+    (`_assemble_m2_masked` structure) — never materializes the
+    (N2, N2, B) ds matrix; applies blocks + masks directly.
 
     Refinement is mixed-cost: the early passes compute residuals with
     HIGHEST-precision MXU matmuls against the ds KKT blocks (cheap,
@@ -380,10 +404,17 @@ def _solve_structured(
     is >> that), and only the FINAL pass pays for the exact
     error-free-transform ds mat-vecs (latency-bound fori chains) whose
     residual exactness sets the converged accuracy.
+
+    Returns ``(x, y, raw)`` where ``raw = Q x + A2' y`` in ds from the
+    final exact pass — the stationarity evaluation the caller needs to
+    recover the multipliers of the row-replaced (pinned) coordinates
+    for free. (raw is evaluated at the pre-final-correction iterate;
+    the final correction is O(solver floor), far below any tolerance
+    it is used against.)
     """
     n = Q.hi.shape[0]
-    m2 = D.shape[0]
     hi_p = jax.lax.Precision.HIGHEST
+    pinN = pin[:, None] if pin.ndim == 1 else pin   # (n, B)
 
     def apply32(t_hi: Array, b_hi: Array):
         v = jnp.concatenate([t_hi, b_hi], axis=0)     # (N2, B)
@@ -394,9 +425,10 @@ def _solve_structured(
         return out[:n], out[n:]
 
     def m2_apply(x: DS, y: DS):
-        top = ds.add(matvec_ds(Q, x), matvec_ds(A2, y))
-        bot = ds.sub(matvec_ds(A2t, x), ds.mul_f32(y, D))
-        return top, bot
+        raw = ds.add(matvec_ds(Q, x), matvec_ds(A2, y))
+        top = ds.where(pinN > 0, x, raw)
+        bot = ds.sub(matvec_ds(A2t, x), ds.mul_f32(y, Dtail))
+        return top, bot, raw
 
     # cheap-residual operator: batched MXU matmuls against the ds KKT
     # blocks, hi/lo cross terms included so the residual reflects the
@@ -414,30 +446,32 @@ def _solve_structured(
         xb = xb_hi + jnp.moveaxis(x.lo, -1, 0)[:, :, None]
         yb_hi = jnp.moveaxis(y.hi, -1, 0)[:, :, None]
         yb = yb_hi + jnp.moveaxis(y.lo, -1, 0)[:, :, None]
-        top = (
+        raw = (
             mm(Qb_hi, xb) + mm(Qb_lo, xb_hi)
             + mm(A2tb_hi, yb) + mm(A2tb_lo, yb_hi)
         )[:, :, 0]
+        raw = jnp.moveaxis(raw, 0, -1)
+        top = jnp.where(pinN > 0, x.hi + x.lo, raw)
         bot = (mm(A2b_hi, xb) + mm(A2b_lo, xb_hi))[:, :, 0]
-        top = jnp.moveaxis(top, 0, -1)
-        bot = jnp.moveaxis(bot, 0, -1) - D * (y.hi + y.lo)
+        bot = jnp.moveaxis(bot, 0, -1) - Dtail * (y.hi + y.lo)
         return top, bot
 
     xh, yh = apply32(r1.hi, r2.hi)
     x, y = ds.from_f32(xh), ds.from_f32(yh)
+    raw = None
     for p in range(passes):
         if p + 1 < passes:
             txh, tyh = m2_apply_f32(x, y)
             rx = ds.sub(r1, ds.from_f32(txh))
             ry = ds.sub(r2, ds.from_f32(tyh))
         else:
-            tx, ty = m2_apply(x, y)
+            tx, ty, raw = m2_apply(x, y)
             rx = ds.sub(r1, tx)
             ry = ds.sub(r2, ty)
         dxh, dyh = apply32(rx.hi, ry.hi)
         x = ds.add(x, ds.from_f32(dxh))
         y = ds.add(y, ds.from_f32(dyh))
-    return x, y
+    return x, y, raw
 
 
 def polish_reduced(
@@ -495,69 +529,65 @@ def polish_reduced(
     if kb:
         sel_np[np.arange(kb), np.asarray(ci[:kb])] = 1.0
     sel = jnp.asarray(sel_np)
-    r1 = ds.neg(qps.b)
     r2_eq = qps.b_eq
-    rhs_cone = ds.zeros((nc, B), f32)  # homogeneous constraints
+    ci_box = np.asarray(ci[:kb])
 
-    def build_rows(low, up, surf, apex):
-        """Masked pin rows + rhs + (2,2) diagonal for the current
-        active-set guess (static shapes; inactive rows zeroed with a
-        unit diagonal so their multipliers are exactly 0)."""
+    def build_pins(low, up, apex):
+        """Pin mask + pinned values over the n coordinates: active box
+        coordinates pinned to their bound, apex cones' three
+        coordinates pinned to 0. (Box coordinates and the cone segment
+        are disjoint by the reduced-engine ordering.)"""
+        pin = jnp.zeros((nv, B), f32)
+        pv_hi = jnp.zeros((nv, B), f32)
+        pv_lo = jnp.zeros((nv, B), f32)
         if kb:
             act_box = (low | up).astype(f32)
-            Rbox = DS(
-                sel[:, :, None] * act_box[:, None, :],
-                jnp.zeros((kb, nv, B), f32),
-            )
-            rhs_box = ds.where(
+            pin = pin + jnp.einsum("kn,kb->nb", sel, act_box)
+            vb = ds.where(
                 low, lbc, ds.where(up, ubc, ds.zeros((kb, B), f32))
             )
-        else:
-            act_box = jnp.zeros((0, B), f32)
-            Rbox = ds.zeros((0, nv, B), f32)
-            rhs_box = ds.zeros((0, B), f32)
+            vb = ds.where((low | up), vb, ds.zeros((kb, B), f32))
+            pv_hi = pv_hi + jnp.einsum("kn,kb->nb", sel, vb.hi)
+            pv_lo = pv_lo + jnp.einsum("kn,kb->nb", sel, vb.lo)
         if nc:
-            row_act = jnp.stack(
-                [surf | apex, apex, apex], axis=1
-            ).reshape(nc, B).astype(f32)
-        else:
-            row_act = jnp.zeros((0, B), f32)
-        act_rows = jnp.concatenate([act_box, row_act], axis=0)   # (p, B)
-        D = jnp.concatenate(
-            [jnp.zeros((m, B), f32), 1.0 - act_rows], axis=0
-        )                                                        # (m2, B)
-        r2 = _concat0(r2_eq, _concat0(rhs_box, rhs_cone))
-        return Rbox, D, r2
+            apex3 = jnp.repeat(apex.astype(f32), 3, axis=0)  # (nc, B)
+            pin = pin.at[ls:ls + nc].add(apex3)
+        return pin, DS(pv_hi, pv_lo)
 
-    def reconstruct_duals(x, y, low, up, surf, apex):
-        """rho * mu = lambda at the ADMM fixed point: scaled ADMM duals
-        from the KKT multipliers of the CURRENT active set."""
-        y_box = DS(y.hi[m:m + kb], y.lo[m:m + kb])
-        y_cone = DS(y.hi[m + kb:], y.lo[m + kb:])
+    def reconstruct_duals(x, y, raw, low, up, surf, apex):
+        """rho * mu = lambda at the ADMM fixed point.
+
+        Surface multipliers come from the solve's y tail; multipliers
+        of the row-replaced pins come for free from the stationarity
+        evaluation ``raw = Q x + A2' y`` the final refinement pass
+        already computed: y_pin = -(raw + b) at the pinned coordinate.
+        """
+        w = ds.add(raw, qps.b)                       # (n, B)
         if kb:
+            w_box = DS(w.hi[ci_box], w.lo[ci_box])
             lam_box = ds.where(
-                (low | up), y_box, ds.zeros((kb, B), f32)
+                (low | up), ds.neg(w_box), ds.zeros((kb, B), f32)
             )
         else:
-            lam_box = y_box
+            lam_box = ds.zeros((0, B), f32)
         if nc:
             lam_fin = DS(
                 x.hi[ls:ls + nc].reshape(ncones, 3, B),
                 x.lo[ls:ls + nc].reshape(ncones, 3, B),
             )
             _, gx, gy = _cone_geometry(lam_fin)
-            y3 = DS(
-                y_cone.hi.reshape(ncones, 3, B),
-                y_cone.lo.reshape(ncones, 3, B),
+            eta_f = DS(y.hi[m:], y.lo[m:])           # (ncones, B)
+            w3 = DS(
+                w.hi[ls:ls + nc].reshape(ncones, 3, B),
+                w.lo[ls:ls + nc].reshape(ncones, 3, B),
             )
-            y0 = DS(y3.hi[:, 0], y3.lo[:, 0])
 
             def cone_coord(i, gcomp: DS) -> DS:
-                yi = DS(y3.hi[:, i], y3.lo[:, i])
-                surf_val = ds.mul(y0, gcomp)
+                wi = DS(w3.hi[:, i], w3.lo[:, i])
+                surf_val = ds.mul(eta_f, gcomp)
                 return ds.where(
                     surf, surf_val,
-                    ds.where(apex, yi, ds.zeros((ncones, B), f32)),
+                    ds.where(apex, ds.neg(wi), ds.zeros((ncones, B), f32)),
                 )
 
             lx = cone_coord(0, gx)
@@ -604,19 +634,27 @@ def polish_reduced(
     # classification inherited from the previous timestep) pays for
     # exactly ONE solve, while a cold batch runs up to `newton_steps`.
     ci_np = np.asarray(ci)
+    r2_tail0 = ds.zeros((ncones if nc else 0, B), f32)
 
     def assemble(low, up, surf, apex, lam_lin, eta):
         if nc:
-            Rcone = _cone_rows(lam_lin, mu_eff, surf, apex, nv, ls)
+            Rsurf = _surf_rows(lam_lin, mu_eff, surf, nv, ls)
             Q_aug = _curvature_augmented_q(
                 qps.Q, eta, lam_lin, mu_eff, surf, ls
             )
+            Dtail = jnp.concatenate(
+                [jnp.zeros((m, B), f32), 1.0 - surf.astype(f32)],
+                axis=0,
+            )
         else:
-            Rcone = ds.zeros((0, nv, B), f32)
+            Rsurf = ds.zeros((0, nv, B), f32)
             Q_aug = qps.Q
-        Rbox, D, r2 = build_rows(low, up, surf, apex)
-        A2 = _concat_rows(qps.A_eq, _concat_rows(Rbox, Rcone))
-        return Q_aug, A2, transpose_ds(A2), D, r2
+            Dtail = jnp.zeros((m, B), f32)
+        pin, pv = build_pins(low, up, apex)
+        A2 = _concat_rows(qps.A_eq, Rsurf)
+        r1 = ds.where(pin > 0, pv, ds.neg(qps.b))
+        r2 = _concat0(r2_eq, r2_tail0)
+        return Q_aug, pin, A2, transpose_ds(A2), Dtail, r1, r2
 
     def next_classification(x, y, mu_new):
         xc_s = DS(x.hi[ci_np], x.lo[ci_np])
@@ -629,7 +667,7 @@ def polish_reduced(
                 x.hi[ls:ls + nc].reshape(ncones, 3, B),
                 x.lo[ls:ls + nc].reshape(ncones, 3, B),
             )
-            neta = y.hi[m + kb:].reshape(ncones, 3, B)[:, 0]
+            neta = y.hi[m:]
         else:
             nlam, neta = lam_lin, eta
         return nlow, nup, nsurf, napex, nlam, neta
@@ -657,8 +695,10 @@ def polish_reduced(
         return flips
 
     # first solve (seed build / external-seed refresh happens here)
-    Q_aug, A2, A2t, D, r2 = assemble(low, up, surf, apex, lam_lin, eta)
-    Mb = _assemble_m2_f32(Q_aug.hi, A2.hi, D)
+    Q_aug, pin, A2, A2t, Dtail, r1, r2 = assemble(
+        low, up, surf, apex, lam_lin, eta
+    )
+    Mb = _assemble_m2_masked(Q_aug.hi, pin, A2.hi, Dtail)
     if seed is None:
         X32 = _polish_seed_f32(Mb)
     else:
@@ -667,8 +707,10 @@ def polish_reduced(
         # steps suffice: a replay-drift (~0.1%) residual collapses
         # quadratically, and anything bigger is rebuild territory.
         X32 = _seed_refresh_or_rebuild(seed, Mb, 2)
-    x, y = _solve_structured(X32, Q_aug, A2, A2t, D, r1, r2)
-    mu_new = reconstruct_duals(x, y, low, up, surf, apex)
+    x, y, raw = _solve_structured_masked(
+        X32, Q_aug, pin, A2, A2t, Dtail, r1, r2
+    )
+    mu_new = reconstruct_duals(x, y, raw, low, up, surf, apex)
 
     if newton_steps > 1:
         nlow, nup, nsurf, napex, nlam, neta = next_classification(
@@ -690,10 +732,10 @@ def polish_reduced(
         def body(st):
             (it, changed_i, low, up, surf, apex, lam_lin, eta, X32,
              x, y, mu_new) = st
-            Q_aug, A2, A2t, D, r2 = assemble(
+            Q_aug, pin, A2, A2t, Dtail, r1_b, r2_b = assemble(
                 low, up, surf, apex, lam_lin, eta
             )
-            Mb = _assemble_m2_f32(Q_aug.hi, A2.hi, D)
+            Mb = _assemble_m2_masked(Q_aug.hi, pin, A2.hi, Dtail)
             idx = jnp.argsort(
                 -changed_i.astype(Mb.dtype), stable=True
             )[:C2]
@@ -701,8 +743,10 @@ def polish_reduced(
             X32 = X32.at[idx].set(
                 jnp.where(changed_i[idx][:, None, None], X_sub, X32[idx])
             )
-            x, y = _solve_structured(X32, Q_aug, A2, A2t, D, r1, r2)
-            mu_new = reconstruct_duals(x, y, low, up, surf, apex)
+            x, y, raw = _solve_structured_masked(
+                X32, Q_aug, pin, A2, A2t, Dtail, r1_b, r2_b
+            )
+            mu_new = reconstruct_duals(x, y, raw, low, up, surf, apex)
             nlow, nup, nsurf, napex, nlam, neta = next_classification(
                 x, y, mu_new
             )
