@@ -105,6 +105,13 @@ def main():
 
     if args.engine == "f64":
         jax.config.update("jax_enable_x64", True)
+    # persistent compilation cache: repeat bench runs skip the ~2 min
+    # cold compiles of the solve/replay programs
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("FCCQP_XLA_CACHE", "/tmp/fccqp_xla_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
 
     from fcc_qp_tpu import FCCQPOptions, solve_batched

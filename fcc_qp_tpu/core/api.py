@@ -246,6 +246,14 @@ class FCCQP:
             equality_viol=float(
                 np.asarray(d.equality_viol).reshape(-1)[0]
             ),
+            n_iter_f32=int(np.asarray(d.n_iter_f32).reshape(-1)[0]),
+            n_iter_ds=int(np.asarray(d.n_iter_ds).reshape(-1)[0]),
+            polish_attempts=int(
+                np.asarray(d.polish_attempts).reshape(-1)[0]
+            ),
+            polish_accepted=int(
+                np.asarray(d.polish_accepted).reshape(-1)[0]
+            ),
         )
         if self._z_host is not None:
             z = self._z_host

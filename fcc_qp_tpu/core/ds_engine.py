@@ -87,6 +87,13 @@ class OperatorCache(NamedTuple):
 
     kkt_seed: Optional[Array] = None     # (N, N, B) f32
     polish_seed: Optional[Array] = None  # (B, N2, N2) f32
+    # packed active-set classification the polish seed was last
+    # refreshed against (`ops.polish.pack_classification`); passed as
+    # the next step's round-1 classification so the carried seed and
+    # the assembled KKT rows always match (a fresh inflated
+    # re-classification flips near-boundary rows every step, which
+    # defeats the Newton-Schulz seed refresh)
+    polish_cls: Optional[Array] = None   # (2*kb + 2*ncones, B) bool
 
 
 def _split64(a: np.ndarray) -> DS:
@@ -801,6 +808,7 @@ def _iterate_full(
     # batch-leading outputs; z reconstructed to f64 when x64 is on
     z = jnp.swapaxes(ds.to_f64(x), 0, 1)
     eq_viol = _eq_residual_inf(qp, x)
+    zeros_i = jnp.zeros((B,), jnp.int32)
     details = FCCQPDetails(
         n_iter=n_iter,
         admm_residual_bounds=xrn,
@@ -811,6 +819,10 @@ def _iterate_full(
         friction_cone_viol=fcone_viol,
         solve_status=_status_checked(n_iter, opts.max_iter, eq_viol, qp),
         equality_viol=eq_viol,
+        n_iter_f32=zeros_i,
+        n_iter_ds=n_iter,  # full-splitting engine iterates in ds only
+        polish_attempts=zeros_i,
+        polish_accepted=zeros_i,
     )
     sol = FCCQPSolution(details=details, z=z)
     new_warm = WarmStartDS(
@@ -894,6 +906,10 @@ class _PrepReduced(NamedTuple):
     Fcolj: DS
     x_const: DS
     kkt_seed: Optional[Array] = None  # (N, N, B) f32 (hybrid factor)
+    # (B,) flag: the lazy f32-only operator did NOT contract for these
+    # instances (even after the cold rescue) — they must be included in
+    # the deferred ds-exact build regardless of polish outcome
+    seed_bad: Optional[Array] = None
 
 
 def _scale_reduced(qp, shape, opts):
@@ -943,17 +959,39 @@ def _factor_reduced_f32(
 ):
     """f32-only reduced factorization: the Schur-free Newton-Schulz
     KKT inverse seed, sliced to the hot-loop blocks — no ds refinement.
-    Returns ``(Fcc32, xc_const32, Fcolj32, x_const32, X32)``; accuracy
-    is the f32 seed floor (~1e-3 relative on equilibrated KKTs), enough
-    for the coarse approach phase + PDAS polish pipeline."""
+    Returns ``(Fcc32, xc_const32, Fcolj32, x_const32, X32, bad)``;
+    accuracy is the f32 seed floor (~1e-3 relative on equilibrated
+    KKTs), enough for the coarse approach phase + PDAS polish pipeline.
+
+    ``bad`` is the (B,) non-contraction flag of the seed/refresh: with
+    a carried ``kkt_seed`` a diverged refresh (the data jumped — e.g. a
+    stream boundary) is first rescued by a cond-gated cold seed
+    rebuild; instances still flagged after that (genuinely beyond the
+    f32 route) must be given the ds-exact operator before the endgame
+    (the caller folds ``bad`` into the lazy exact build's ``need``)."""
     n = qp.Q.hi.shape[0]
     rho_diag = rho[None, :] * jnp.asarray(mask, qp.Q.hi.dtype)[:, None]
     with jax.default_matmul_precision("highest"):
         if kkt_seed is None:
-            X32, _ = kkt_inverse_f32_seed(qp.Q, qp.A_eq, rho_diag)
+            X32, seed_res = kkt_inverse_f32_seed(qp.Q, qp.A_eq, rho_diag)
         else:
-            X32, _ = kkt_inverse_f32_refresh(
+            X32, seed_res = kkt_inverse_f32_refresh(
                 kkt_seed, qp.Q, qp.A_eq, rho_diag
+            )
+
+            def _cold_rescue(X):
+                Xc, rc = kkt_inverse_f32_seed(qp.Q, qp.A_eq, rho_diag)
+                worse = (seed_res > 0.5)[None, None, :]
+                return (
+                    jnp.where(worse, Xc, X),
+                    jnp.where(seed_res > 0.5, rc, seed_res),
+                )
+
+            X32, seed_res = jax.lax.cond(
+                jnp.any(seed_res > 0.5),
+                _cold_rescue,
+                lambda X: (X, seed_res),
+                X32,
             )
         r = jnp.concatenate([-qp.b.hi, qp.b_eq.hi], axis=0)
         xfull = jnp.einsum(
@@ -965,7 +1003,7 @@ def _factor_reduced_f32(
     Fcc = jnp.swapaxes(Fci[ci], 0, 1)          # (k, k, B) j-major
     x_const = xfull[:n]
     xc_const = x_const[ci]
-    return Fcc, xc_const, Fcolj, x_const, X32
+    return Fcc, xc_const, Fcolj, x_const, X32, seed_res > 0.5
 
 
 def _reduced_factor_fn(qps, opts, ci, mask):
@@ -1053,7 +1091,7 @@ def _prepare_reduced(
         # capacity-gathered build just before the ds endgame — which a
         # fully polish-accepted batch (the warm-replay common case)
         # skips entirely (`_iterate_reduced`).
-        Fcc32, xc32, Fcolj32, x32, X32 = _factor_reduced_f32(
+        Fcc32, xc32, Fcolj32, x32, X32, seed_bad = _factor_reduced_f32(
             qps, rho0, ci, mask, kkt_seed=kkt_seed
         )
         Fcc0 = ds.from_f32(Fcc32)
@@ -1065,17 +1103,19 @@ def _prepare_reduced(
             qps, rho0, ci, mask, opts.kkt_refine_steps + 1,
             kkt_seed=kkt_seed,
         )
+        seed_bad = None
     else:
         Fcc0, xc_const0, Fcolj0, x_const0 = _factor_reduced(
             qps, rho0, ci, mask, opts.kkt_refine_steps
         )
         X32 = None
+        seed_bad = None
     if x_init is None:
         x_init = x_const0
     return _PrepReduced(
         qps=qps, d=d, e=sc.e, rho0=rho0, mu0=mu0, x_init=x_init,
         eq_c=eq_c, Fcc=Fcc0, xc_const=xc_const0, Fcolj=Fcolj0,
-        x_const=x_const0, kkt_seed=X32,
+        x_const=x_const0, kkt_seed=X32, seed_bad=seed_bad,
     )
 
 
@@ -1102,6 +1142,10 @@ def _solve_reduced_k0(qp, shape, opts):
         friction_cone_viol=zeros_b,
         solve_status=_status_checked(n_iter0, opts.max_iter, eq_viol, qp),
         equality_viol=eq_viol,
+        n_iter_f32=n_iter0,
+        n_iter_ds=n_iter0,
+        polish_attempts=n_iter0,
+        polish_accepted=n_iter0,
     )
     new_warm = WarmStartDS(
         x=x, mu_x=ds.zeros((nv, B), f32), mu_lambda_c=ds.zeros((0, B), f32),
@@ -1114,6 +1158,7 @@ def _iterate_reduced(
     qp, prep: _PrepReduced, shape, opts, con_idx,
     use_pallas=False, pallas_interpret=False,
     polish_seed: Optional[Array] = None, with_cache: bool = False,
+    polish_cls: Optional[Array] = None,
 ):
     """Stage 2 of the equilibrated, reduced-subspace ds ADMM.
 
@@ -1345,7 +1390,11 @@ def _iterate_reduced(
     tau = jnp.asarray(coarse_tol, f32)
 
     def lift32(st: _RState) -> _RState:
-        z32 = lambda a: DS(a.hi, jnp.zeros_like(a.lo))
+        # zero the lo words for instances ENTERING the f32 phase;
+        # already-done instances (e.g. warm-start polish-accepted)
+        # keep their ds-precision state
+        frozen = st.done[None, :]
+        z32 = lambda a: DS(a.hi, jnp.where(frozen, a.lo, 0.0))
         return st._replace(
             xc=z32(st.xc), s=z32(st.s), mu=z32(st.mu), v=z32(st.v)
         )
@@ -1411,13 +1460,18 @@ def _iterate_reduced(
         def commit(new, old):
             return jnp.where(active, new, old)
 
-        zl = lambda a: jnp.zeros_like(a)
+        # lo words: zero for ACTIVE instances (plain-f32 phase) but
+        # preserved for frozen ones — polish-accepted instances carry
+        # ds-precision s/mu that re-polish round chunks must not wipe
+        def commit_lo(old_lo):
+            return jnp.where(active[None, :], 0.0, old_lo)
+
         return st._replace(
             it=st.it + 1,
-            xc=DS(commit2(xc, st.xc.hi), zl(xc)),
-            s=DS(commit2(s_, st.s.hi), zl(s_)),
-            mu=DS(commit2(mu, st.mu.hi), zl(mu)),
-            v=DS(commit2(v, st.v.hi), zl(v)),
+            xc=DS(commit2(xc, st.xc.hi), commit_lo(st.xc.lo)),
+            s=DS(commit2(s_, st.s.hi), commit_lo(st.s.lo)),
+            mu=DS(commit2(mu, st.mu.hi), commit_lo(st.mu.lo)),
+            v=DS(commit2(v, st.v.hi), commit_lo(st.v.lo)),
             x_res_norm=commit(x_res_norm, st.x_res_norm),
             lam_res_norm=commit(lam_res_norm, st.lam_res_norm),
             prim_norm=commit(prim_norm, st.prim_norm),
@@ -1462,11 +1516,15 @@ def _iterate_reduced(
             )
             s_new = jnp.concatenate([x_bar[:kb], lam_bar], axis=0) if nc else x_bar
             mu_new = jnp.concatenate([mu_x[:kb], mu_lam], axis=0) if nc else mu_x
-            zl = jnp.zeros_like
+            # lo words: zeroed for instances the chunk iterated, but
+            # preserved for already-frozen ones (polish-accepted state
+            # is ds-precision; see iteration32)
+            frozen = st.done[None, :]
+            kl = lambda old_lo: jnp.where(frozen, old_lo, 0.0)
             st = st._replace(
                 it=st.it + Kc,
-                xc=DS(x, zl(x)), s=DS(s_new, zl(s_new)),
-                mu=DS(mu_new, zl(mu_new)), v=DS(v_out, zl(v_out)),
+                xc=DS(x, kl(st.xc.lo)), s=DS(s_new, kl(st.s.lo)),
+                mu=DS(mu_new, kl(st.mu.lo)), v=DS(v_out, kl(st.v.lo)),
                 x_res_norm=xrn, lam_res_norm=lrn, prim_norm=prim,
                 dual_norm=dual, itv=itv, done=done,
             )
@@ -1484,22 +1542,22 @@ def _iterate_reduced(
 
     st = init
     pol = None
+    warm_polish = do_polish and polish_seed is not None
     if two_phase:
         def p1_cond(st: _RState):
             return (st.it < n_chunks * K) & ~jnp.all(
                 st.done | (st.itv >= opts.max_iter)
             )
 
-        st = jax.lax.while_loop(p1_cond, chunk_body32, lift32(st))
         if do_polish:
             from fcc_qp_tpu.ops.polish import polish_reduced
 
-            def attempt(st: _RState, seed):
+            def attempt(st: _RState, seed, init_class=None):
                 p = polish_reduced(
                     qps, shape, ci, kb, st.s, st.mu, st.rho, wk, lbc,
                     ubc, prep.e, opts.eps_bound, opts.eps_fcone,
                     opts.polish_act_tol, opts.polish_newton_steps,
-                    seed=seed,
+                    seed=seed, init_class=init_class,
                 )
                 acc = p.accept & ~st.done
                 if os.environ.get("FCCQP_ROUNDS_DEBUG"):
@@ -1523,13 +1581,54 @@ def _iterate_reduced(
                 )
                 return st, p, acc
 
+        if warm_polish:
+            # WARM attempt 0, straight from the warm-start state before
+            # any iterations: a replay step drifts the data ~0.1%, so
+            # the previous step's classification (carried with its
+            # seed) is almost always still exact — one PDAS solve IS
+            # the new solution, self-validated at 1e-6. Accepted
+            # instances finish with n_iter == 0; this is the TPU analog
+            # of the reference's warm path (1 factorization + a handful
+            # of iterations, `fcc_qp.cpp:159`, fccqp.pdf Table 1).
+            st, pol, acc0 = attempt(
+                st, polish_seed, init_class=polish_cls
+            )
+            pol = pol._replace(accept=acc0)
+            n_attempts = jnp.ones((B,), jnp.int32)
+            # rejected instances iterate to the coarse point; accepted
+            # ones are frozen (lift32/chunks preserve their ds state)
+
+        st = jax.lax.while_loop(p1_cond, chunk_body32, lift32(st))
+        if do_polish and warm_polish:
+            # coarse-point attempt for the warm-rejected instances only
+            # (cond-skipped when attempt 0 accepted the whole batch)
+            def attempt1_warm(carry):
+                st, pol, n_attempts = carry
+                prev_acc = pol.accept
+                st = st._replace(done=prev_acc)
+                st, p, acc1 = attempt(st, pol.seed)
+                pol = p._replace(
+                    x=ds.where(acc1[None, :], p.x, pol.x),
+                    accept=prev_acc | acc1,
+                )
+                n_attempts = n_attempts + jnp.where(~prev_acc, 1, 0)
+                return st, pol, n_attempts
+
+            st, pol, n_attempts = jax.lax.cond(
+                jnp.all(pol.accept | (st.itv >= opts.max_iter)),
+                lambda c: c,
+                attempt1_warm,
+                (st, pol, n_attempts),
+            )
+        elif do_polish:
             # attempt 1 at the coarse point (phase-1 done flags meant
-            # "crossed tau" — replaced by acceptance below); the seed is
-            # the carried previous-step polish seed when replaying
+            # "crossed tau" — replaced by acceptance below)
             st = st._replace(done=jnp.zeros_like(st.done))
             st, pol, acc1 = attempt(st, polish_seed)
             pol = pol._replace(accept=acc1)
+            n_attempts = jnp.ones((B,), jnp.int32)
 
+        if do_polish:
             # re-polish rounds: rejected instances run a short f32
             # chunk at a tighter tolerance (their active set was
             # misread at the coarser point — a few dozen more
@@ -1558,7 +1657,7 @@ def _iterate_reduced(
                 )
 
                 def round_body(carry):
-                    st, pol = carry
+                    st, pol, n_attempts = carry
                     acc_mask = pol.accept
                     st = chunk_r(st)
                     st = st._replace(done=acc_mask)
@@ -1568,57 +1667,81 @@ def _iterate_reduced(
                         x=ds.where(accN, p.x, pol.x),
                         accept=acc_mask | acc_r,
                     )
-                    return st, pol
+                    n_attempts = n_attempts + jnp.where(~acc_mask, 1, 0)
+                    return st, pol, n_attempts
 
-                st, pol = jax.lax.cond(
+                st, pol, n_attempts = jax.lax.cond(
                     jnp.all(pol.accept | (st.itv >= opts.max_iter)),
                     lambda c: c,
                     round_body,
-                    (st, pol),
+                    (st, pol, n_attempts),
                 )
         else:
             # un-done everything: "crossed tau" is not converged
             st = st._replace(done=jnp.zeros_like(st.done))
 
+    # per-phase telemetry: iterations spent so far are the plain-f32
+    # phase (approach + polish round chunks); the remainder is the ds
+    # endgame
+    itv_f32 = st.itv
+    if pol is None:
+        n_attempts = jnp.zeros((B,), jnp.int32)
+
     if _lazy_exact(opts):
         # the prepare phase built only the f32 operator (enough for the
         # approach phase + the self-solving PDAS polish); instances the
         # polish never accepted need the ds-exact operator for the
-        # 1e-6 endgame. Build it here, cond-gated (a fully accepted
-        # batch — the warm-replay common case — skips it entirely) and
-        # capacity-gathered onto the unaccepted instances.
+        # 1e-6 endgame — as do instances whose f32 seed never
+        # contracted (prep.seed_bad), even if the polish accepted a
+        # point for them the endgame will never run. Build it here,
+        # cond-gated (a fully accepted batch — the warm-replay common
+        # case — skips it entirely) and capacity-gathered onto the
+        # needy instances, LOOPING until every one is covered: a capped
+        # single pass would leave overflow instances running the 1e-6
+        # endgame on an ~1e-3 operator — they converge to the
+        # perturbed fixed point and would report kSuccess with ~1e-3
+        # true error (silent corruption, not slowness).
         need = ~(st.done | (st.itv >= opts.max_iter))
+        if prep.seed_bad is not None:
+            need = need | (prep.seed_bad & ~(st.itv >= opts.max_iter))
         C3 = min(B, max(128, B // 4))
 
         def _gl(a: DS, idx) -> DS:
             return DS(a.hi[..., idx], a.lo[..., idx])
 
         def build_exact(blocks):
-            Fcc, xc_const, Fcolj, x_const = blocks
-            idx = jnp.argsort(-need.astype(f32), stable=True)[:C3]
-            sub = QPBatchDS(
-                Q=_gl(qps.Q, idx), b=_gl(qps.b, idx),
-                A_eq=_gl(qps.A_eq, idx), b_eq=_gl(qps.b_eq, idx),
-                friction_coeffs=_gl(qps.friction_coeffs, idx),
-                lb=_gl(qps.lb, idx), ub=_gl(qps.ub, idx),
-            )
-            Fcc_s, xc_s, Fcol_s, x0_s, _ = _factor_reduced_hybrid(
-                sub, st.rho[idx], ci, mask, opts.kkt_refine_steps + 1
-            )
-            sel = need[idx]
-
-            def scat(full: DS, sub_v: DS) -> DS:
-                m_ = sel.reshape((1,) * (full.hi.ndim - 1) + (-1,))
-                hi = full.hi.at[..., idx].set(
-                    jnp.where(m_, sub_v.hi, full.hi[..., idx])
+            def one_pass(carry):
+                (Fcc, xc_const, Fcolj, x_const), rem = carry
+                idx = jnp.argsort(-rem.astype(f32), stable=True)[:C3]
+                sub = QPBatchDS(
+                    Q=_gl(qps.Q, idx), b=_gl(qps.b, idx),
+                    A_eq=_gl(qps.A_eq, idx), b_eq=_gl(qps.b_eq, idx),
+                    friction_coeffs=_gl(qps.friction_coeffs, idx),
+                    lb=_gl(qps.lb, idx), ub=_gl(qps.ub, idx),
                 )
-                lo = full.lo.at[..., idx].set(
-                    jnp.where(m_, sub_v.lo, full.lo[..., idx])
+                Fcc_s, xc_s, Fcol_s, x0_s, _ = _factor_reduced_hybrid(
+                    sub, st.rho[idx], ci, mask, opts.kkt_refine_steps + 1
                 )
-                return DS(hi, lo)
+                sel = rem[idx]
 
-            return (scat(Fcc, Fcc_s), scat(xc_const, xc_s),
-                    scat(Fcolj, Fcol_s), scat(x_const, x0_s))
+                def scat(full: DS, sub_v: DS) -> DS:
+                    m_ = sel.reshape((1,) * (full.hi.ndim - 1) + (-1,))
+                    hi = full.hi.at[..., idx].set(
+                        jnp.where(m_, sub_v.hi, full.hi[..., idx])
+                    )
+                    lo = full.lo.at[..., idx].set(
+                        jnp.where(m_, sub_v.lo, full.lo[..., idx])
+                    )
+                    return DS(hi, lo)
+
+                out = (scat(Fcc, Fcc_s), scat(xc_const, xc_s),
+                       scat(Fcolj, Fcol_s), scat(x_const, x0_s))
+                return out, rem.at[idx].set(False)
+
+            out, _ = jax.lax.while_loop(
+                lambda c: jnp.any(c[1]), one_pass, (blocks, need)
+            )
+            return out
 
         Fcc_e, xc_e, Fcol_e, x0_e = jax.lax.cond(
             jnp.any(need), build_exact, lambda b: b,
@@ -1675,6 +1798,24 @@ def _iterate_reduced(
 
     z = jnp.swapaxes(ds.to_f64(x), 0, 1)
     eq_viol = _eq_residual_inf(qp, x)
+    zeros_i = jnp.zeros((B,), jnp.int32)
+    accepted = (
+        pol.accept.astype(jnp.int32) if pol is not None else zeros_i
+    )
+    status = _status_checked(n_iter, opts.max_iter, eq_viol, qp)
+    if pol is not None:
+        # a polish-accepted instance carries a SELF-VALIDATED 1e-6
+        # solution (projection-consistency + equality residuals checked
+        # in ds at acceptance) — it is kSuccess even when its iteration
+        # counter ran to max_iter before the accepting attempt (e.g. an
+        # instance that burned its whole budget in the coarse phase and
+        # was then rescued by the polish)
+        status = jnp.where(
+            pol.accept
+            & (status == jnp.int32(FCCQPSolveStatus.kMaxIterations)),
+            jnp.int32(FCCQPSolveStatus.kSuccess),
+            status,
+        )
     details = FCCQPDetails(
         n_iter=n_iter,
         admm_residual_bounds=xrn,
@@ -1683,8 +1824,12 @@ def _iterate_reduced(
         factorization_time=zeros_b,
         bounds_viol=bounds_viol,
         friction_cone_viol=fcone_viol,
-        solve_status=_status_checked(n_iter, opts.max_iter, eq_viol, qp),
+        solve_status=status,
         equality_viol=eq_viol,
+        n_iter_f32=jnp.where(eq_c, 0, itv_f32),
+        n_iter_ds=jnp.where(eq_c, 0, st.itv - itv_f32),
+        polish_attempts=jnp.where(eq_c, 0, n_attempts),
+        polish_accepted=jnp.where(eq_c, 0, accepted),
     )
 
     # warm-start pytree: full-space, UNSCALED (portable across solves
@@ -1702,6 +1847,7 @@ def _iterate_reduced(
         cache = OperatorCache(
             kkt_seed=prep.kkt_seed,
             polish_seed=pol.seed if pol is not None else None,
+            polish_cls=pol.cls if pol is not None else None,
         )
         return FCCQPSolution(details=details, z=z), new_warm, cache
     return FCCQPSolution(details=details, z=z), new_warm
@@ -1738,6 +1884,7 @@ def _solve_ds_reduced_jit(
         qp, prep, shape, opts, con_idx, use_pallas, pallas_interpret,
         polish_seed=cache.polish_seed if cache is not None else None,
         with_cache=with_cache,
+        polish_cls=cache.polish_cls if cache is not None else None,
     )
 
 

@@ -183,6 +183,7 @@ def _details(
         )
     else:
         eq_viol = jnp.zeros(x.shape[:-1], dtype)
+    zeros_i = jnp.zeros_like(n_iter)
     return FCCQPDetails(
         equality_viol=eq_viol,
         n_iter=n_iter,
@@ -197,6 +198,10 @@ def _details(
             jnp.int32(FCCQPSolveStatus.kMaxIterations),
             jnp.int32(FCCQPSolveStatus.kSuccess),
         ),
+        n_iter_f32=zeros_i,
+        n_iter_ds=zeros_i,
+        polish_attempts=zeros_i,
+        polish_accepted=zeros_i,
     )
 
 

@@ -482,9 +482,16 @@ def generate_osc_batch(
     try:
         x_feas = np.linalg.solve(K2, rhs2[..., None])[:, :n, 0]
     except np.linalg.LinAlgError:
-        x_feas = np.linalg.lstsq(
-            K2.reshape(-1, N2, N2)[0], rhs2[0], rcond=None
-        )[0][:n][None].repeat(B, axis=0)
+        # batched solve raises if ANY instance is singular; fall back
+        # to per-instance lstsq so one degenerate instance cannot void
+        # the feasibility certificate of the whole batch
+        x_feas = np.stack(
+            [
+                np.linalg.lstsq(K2[i], rhs2[i], rcond=None)[0][:n]
+                for i in range(B)
+            ],
+            axis=0,
+        )
     u_feas = np.abs(x_feas[:, nv : nv + nu])
     u_max = np.maximum(u_max, 1.02 * u_feas)                   # (B, nu)
 

@@ -407,8 +407,54 @@ def newton_schulz_refine_ds(X: DS, M: DS, steps: int = 1) -> DS:
     return X
 
 
+def _jacobi_kkt_scales(H: DS, A: DS, sweeps: int = 3):
+    """Ruiz equilibration scales for the KKT [[H, A'],[A, 0]].
+
+    Returns ``(d (n, B), e (m, B))``: the scaled KKT is ``P M P`` with
+    ``P = blkdiag(D, E)``, so ``M^{-1} = P Ms^{-1} P``. Each sweep
+    divides the scales by the sqrt of the current scaled column max-abs
+    norm over the FULL KKT column — including the A entries, so
+    zero-curvature coordinates (costless force variables, the norm in
+    OSC Hessians) are scaled by their constraint-column magnitude
+    rather than an arbitrary clamp. Diagonal pathologies (per-coordinate
+    curvature spreads, raw kappa up to ~1e12 on unequilibrated OSC data)
+    are removed; the downstream Cholesky pivots and Newton-Schulz
+    contraction see only the essential (scaling-invariant)
+    conditioning."""
+    n, _, B = H.hi.shape
+    m = A.hi.shape[0]
+    f32 = H.hi.dtype
+    absH = jnp.abs(H.hi)
+    absA = jnp.abs(A.hi) if m else None
+    d = jnp.ones((n, B), f32)
+    e = jnp.ones((m, B), f32)
+    for _ in range(sweeps):
+        # scaled primal column i: max(max_j |H_ij| d_i d_j,
+        #                             max_r |A_ri| e_r d_i)
+        ch = jnp.max(absH * d[None, :, :], axis=1) * d  # (n, B)
+        if m:
+            ca = jnp.max(absA * e[:, None, :], axis=0) * d  # (n, B)
+            c = jnp.maximum(ch, ca)
+            g = jnp.max(absA * d[None, :, :], axis=1) * e  # (m, B)
+            e = e * jnp.where(
+                g > 0, jax.lax.rsqrt(jnp.maximum(g, 1e-30)), 1.0
+            )
+        else:
+            c = ch
+        d = d * jnp.where(
+            c > 0, jax.lax.rsqrt(jnp.maximum(c, 1e-30)), 1.0
+        )
+    return d, e
+
+
+def _scale_sym(Xm: DS, a: Array, b: Array) -> DS:
+    """rows (axis 0) by ``a``, cols (axis 1) by ``b``; batch-last."""
+    return ds.mul_f32(ds.mul_f32(Xm, a[:, None, :]), b[None, :, :])
+
+
 def kkt_inverse_blocks_refined_ds(
-    Q: DS, A: DS, rho: Array, refine_steps: int = 1
+    Q: DS, A: DS, rho: Array, refine_steps: int = 1,
+    equilibrate: bool = True,
 ):
     """Full KKT inverse blocks (F, G) via Schur factorization plus
     Newton-Schulz refinement of the complete inverse.
@@ -416,13 +462,37 @@ def kkt_inverse_blocks_refined_ds(
     Returns (F, G) like `schur_kkt_factor_ds`, but accurate to
     ~kappa(KKT)^2 * eps_ds^2 after one refinement step instead of
     ~kappa(S) * eps_ds. rho (B,) uniform or (n, B) per-coordinate.
+
+    ``equilibrate`` (default on) applies internal symmetric Jacobi
+    scaling (`_jacobi_kkt_scales`) before factorizing and unscales the
+    returned blocks — the route is then robust to per-coordinate scale
+    spreads (unequilibrated OSC data) that would otherwise defeat both
+    the Cholesky pivot logic and the refinement contraction. This is
+    the all-ds fallback that rescues bad-seed instances of the hybrid
+    factorization, so it must not assume Ruiz-scaled input.
     """
     n, _, B = Q.hi.shape
-    m = A.hi.shape[0]
     f32 = Q.hi.dtype
+    H = ds.add(Q, DS(_rho_diag_mat(rho, n, f32), jnp.zeros_like(Q.hi)))
+    if equilibrate:
+        dsc, esc = _jacobi_kkt_scales(H, A)
+        Hs = _scale_sym(H, dsc, dsc)
+        As = _scale_sym(A, esc, dsc) if A.hi.shape[0] else A
+        Fs, Gs = _kkt_inverse_blocks_core(Hs, As, refine_steps)
+        F = _scale_sym(Fs, dsc, dsc)
+        G = _scale_sym(Gs, dsc, esc) if A.hi.shape[0] else Gs
+        return F, G
+    return _kkt_inverse_blocks_core(H, A, refine_steps)
+
+
+def _kkt_inverse_blocks_core(H: DS, A: DS, refine_steps: int):
+    """Schur factorization + NS refinement of [[H, A'],[A, 0]] with the
+    rho already folded into H (see `kkt_inverse_blocks_refined_ds`)."""
+    n, _, B = H.hi.shape
+    m = A.hi.shape[0]
+    f32 = H.hi.dtype
 
     eye = jnp.eye(n, dtype=f32)[:, :, None]
-    H = ds.add(Q, DS(_rho_diag_mat(rho, n, f32), jnp.zeros_like(Q.hi)))
     L, sh_H = chol_regularized_ds(H, return_shifted=True)
     At = transpose_ds(A)
     rhs = DS(
@@ -468,7 +538,7 @@ def kkt_inverse_blocks_refined_ds(
             axis=0,
         )
         X = DS(X_hi, X_lo)
-        M = assemble_kkt_ds(Q, A, rho)
+        M = assemble_kkt_ds(H, A, jnp.zeros((B,), f32))
         X = newton_schulz_refine_ds(X, M, refine_steps)
         # singular-input rescue (rank-deficient A_eq / rho-free singular
         # (1,1) block — the reference's COD territory): a shifted factor
@@ -494,6 +564,7 @@ def kkt_solve_refined_ds(
     s: DS,
     delta_rel: float = 1e-6,
     refine_steps: int = 8,
+    equilibrate: bool = True,
 ):
     """Accurate ds solve of the UNREGULARIZED KKT system for x:
 
@@ -504,7 +575,21 @@ def kkt_solve_refined_ds(
     factors a delta-regularized KKT (benign Schur complement) and runs
     vector iterative refinement against the TRUE KKT with ds residuals:
     converges at rate ~delta * ||KKT^{-1}|| per step.
+
+    ``equilibrate`` applies internal Jacobi scaling (see
+    `kkt_inverse_blocks_refined_ds`) so raw unscaled OSC data does not
+    defeat the refinement contraction.
     """
+    if equilibrate:
+        dsc, esc = _jacobi_kkt_scales(Q, A)
+        Qs = _scale_sym(Q, dsc, dsc)
+        As = _scale_sym(A, esc, dsc) if A.hi.shape[0] else A
+        rs_ = ds.mul_f32(r, dsc)
+        ss_ = ds.mul_f32(s, esc) if A.hi.shape[0] else s
+        xs = kkt_solve_refined_ds(
+            Qs, As, rs_, ss_, delta_rel, refine_steps, equilibrate=False
+        )
+        return ds.mul_f32(xs, dsc)
     n, _, B = Q.hi.shape
     m = A.hi.shape[0]
     f32 = Q.hi.dtype

@@ -60,6 +60,25 @@ class PolishResult(NamedTuple):
     x_res: Array   # (B,) weighted box residual of the polished point
     lam_res: Array  # (B,) weighted cone residual
     seed: Array    # (B, N2, N2) f32 inverse seed (reusable for retries)
+    cls: Array     # (2*kb + 2*ncones, B) bool — the classification the
+    #                seed was last refreshed against (pack_classification);
+    #                pass back as ``init_class`` so a carried seed and the
+    #                round-1 KKT rows always match
+
+
+def pack_classification(low, up, surf, apex) -> Array:
+    """Pack the four active-set masks into one (2*kb+2*ncones, B) bool
+    array for carrying through scan/cache pytrees."""
+    return jnp.concatenate([low, up, surf, apex], axis=0)
+
+
+def unpack_classification(cls: Array, kb: int, ncones: int):
+    return (
+        cls[:kb],
+        cls[kb : 2 * kb],
+        cls[2 * kb : 2 * kb + ncones],
+        cls[2 * kb + ncones :],
+    )
 
 
 def _cone_geometry(lam3: DS):
@@ -305,30 +324,38 @@ def _seed_refresh_or_rebuild(seed: Array, Mb: Array, steps: int) -> Array:
     retried/re-classified ones, for which Newton-Schulz from the old
     inverse diverges) get a full cold seed rebuild instead.
 
-    The rebuild is CAPACITY-LIMITED: the cold build is ~50x the refresh
-    cost, and at batch scale a handful of re-classified stragglers
-    would otherwise trigger it for the whole batch every PDAS step. At
-    most ``max(128, B//8)`` worst-residual instances are gathered into
-    a sub-batch, rebuilt there, and scattered back; instances beyond
-    capacity keep their (non-contracting) refresh, fail the downstream
-    acceptance test, and get another capacity's worth of rebuilds at
-    the next polish round. The whole branch runs under `lax.cond`, so
-    batches where every refresh contracts (sequential warm replay,
-    unchanged active sets) never pay for it.
+    The rebuild is capacity-GATHERED but not capacity-capped: each pass
+    gathers up to ``max(128, B//8)`` worst-residual instances into a
+    sub-batch, rebuilds them cold, and scatters back — and the pass
+    LOOPS until every non-contracting instance has been rebuilt (a
+    silent cap here would hand capacity-overflow instances a garbage
+    seed whose downstream rejection costs hundreds of endgame
+    iterations). The whole branch runs under `lax.cond`, so batches
+    where every refresh contracts (sequential warm replay, unchanged
+    active sets) never pay for it; typical bad sets fit in one pass.
     """
     B = Mb.shape[0]
     X, r = _ns_refresh_guarded(seed, Mb, steps)
     bad = r > 0.3
     C = min(B, max(128, B // 8))
 
-    def rebuild(x):
-        # worst residuals first (stable order for determinism)
-        idx = jnp.argsort(-r, stable=True)[:C]
-        Xc = _polish_seed_f32(Mb[idx])
-        keep = bad[idx][:, None, None]
-        return x.at[idx].set(jnp.where(keep, Xc, x[idx]))
+    def rebuild_all(x):
+        def body(carry):
+            x, rem = carry
+            # worst residuals first (stable order for determinism)
+            idx = jnp.argsort(-rem.astype(Mb.dtype), stable=True)[:C]
+            Xc = _polish_seed_f32(Mb[idx])
+            keep = rem[idx][:, None, None]
+            x = x.at[idx].set(jnp.where(keep, Xc, x[idx]))
+            rem = rem.at[idx].set(False)
+            return x, rem
 
-    return jax.lax.cond(jnp.any(bad), rebuild, lambda x: x, X)
+        x, _ = jax.lax.while_loop(
+            lambda c: jnp.any(c[1]), body, (x, bad)
+        )
+        return x
+
+    return jax.lax.cond(jnp.any(bad), rebuild_all, lambda x: x, X)
 
 
 def _polish_seed_f32(Mb: Array, ns_iters: int = 48) -> Array:
@@ -490,6 +517,7 @@ def polish_reduced(
     act_tol: float,
     newton_steps: int = 2,
     seed: Array | None = None,
+    init_class: Array | None = None,
 ) -> PolishResult:
     """Attempt an active-set polish of every instance in the batch.
 
@@ -504,6 +532,19 @@ def polish_reduced(
     Newton--Schulz refresh steps against the re-classified KKT instead
     of the full cold iteration — the active set of a retried instance
     moved only a few rows, which NS absorbs quadratically.
+
+    ``init_class``: optional packed classification
+    (`pack_classification`) to use for the round-1 assembly instead of
+    classifying fresh from ``t = s + mu``. MUST accompany a carried
+    ``seed``: the seed is an inverse of the KKT assembled from the rows
+    of the classification it was last refreshed against
+    (`PolishResult.cls`), and re-deriving the round-1 classification
+    from an inflated fresh branch read flips near-boundary rows O(1)
+    relative to that — every such flip defeats the Newton-Schulz
+    refresh and forces a cold rebuild (the round-3 warm-replay
+    regression: systematic seed/rows mismatch on every replay step).
+    With the carried classification the PDAS loop itself performs any
+    re-classification, refreshing the seed consistently as it goes.
     """
     from fcc_qp_tpu.core.ds_engine import project_cone_ds
 
@@ -519,11 +560,17 @@ def polish_reduced(
     # initial classification: projection branch of the exact ADMM
     # pre-projection point t = s + mu, inflated by act_tol (t still
     # carries O(coarse residual) error); PDAS re-classifications below
-    # use the exact branch (inflate=0)
+    # use the exact branch (inflate=0). A carried classification
+    # (see ``init_class`` above) replaces the fresh read.
     t0 = ds.add(s, mu_dual)
-    low, up, surf, apex = classify_branch(
-        t0, lbc, ubc, mu_eff, kb, nc, wk, inflate=act_tol
-    )
+    if init_class is None:
+        low, up, surf, apex = classify_branch(
+            t0, lbc, ubc, mu_eff, kb, nc, wk, inflate=act_tol
+        )
+    else:
+        low, up, surf, apex = unpack_classification(
+            init_class, kb, ncones
+        )
 
     sel_np = np.zeros((kb, nv), np.float32)
     if kb:
@@ -694,6 +741,47 @@ def polish_reduced(
             flips = flips | moved
         return flips
 
+    zeros_b = jnp.zeros((B,), f32)
+    ci_arr = np.asarray(ci)
+
+    def accept_eval(x: DS, mu_new: DS):
+        """Projection-consistency + equality acceptance residuals of a
+        candidate (x, mu) — the SAME test the plain ADMM loop uses, at
+        full eps, in ds, weighted back to unscaled units. Returns
+        (s_new, x_res, lam_res, eq_res, score) where score is the
+        max residual/eps ratio (inf for non-finite candidates)."""
+        xc = DS(x.hi[ci_arr], x.lo[ci_arr])
+        t = ds.add(xc, mu_new)
+        parts = []
+        if kb:
+            parts.append(ds.clip(DS(t.hi[:kb], t.lo[:kb]), lbc, ubc))
+        if nc:
+            parts.append(
+                project_cone_ds(DS(t.hi[kb:], t.lo[kb:]), mu_eff)
+            )
+        s_new = (
+            parts[0] if len(parts) == 1 else _concat0(parts[0], parts[1])
+        )
+        res = ds.sub(xc, s_new)
+        wres = jnp.abs(res.hi) * wk
+        x_res = jnp.max(wres[:kb], axis=0) if kb else zeros_b
+        lam_res = jnp.max(wres[kb:], axis=0) if nc else zeros_b
+        r_eq = ds.sub(matvec_ds(transpose_ds(qps.A_eq), x), qps.b_eq)
+        eq_res = (
+            jnp.max(jnp.abs(r_eq.hi) / e_scale, axis=0)
+            if m else zeros_b
+        )
+        finite = (
+            jnp.all(jnp.isfinite(x.hi), axis=0)
+            & jnp.all(jnp.isfinite(mu_new.hi), axis=0)
+        )
+        score = jnp.maximum(
+            jnp.maximum(x_res / eps_bound, lam_res / eps_fcone),
+            eq_res / eps_bound,
+        )
+        score = jnp.where(finite, score, jnp.inf)
+        return s_new, x_res, lam_res, eq_res, score
+
     # first solve (seed build / external-seed refresh happens here)
     Q_aug, pin, A2, A2t, Dtail, r1, r2 = assemble(
         low, up, surf, apex, lam_lin, eta
@@ -711,6 +799,18 @@ def polish_reduced(
         X32, Q_aug, pin, A2, A2t, Dtail, r1, r2
     )
     mu_new = reconstruct_duals(x, y, raw, low, up, surf, apex)
+    # the classification the CURRENT seed/solve correspond to — carried
+    # out as PolishResult.cls so the next attempt's round-1 rows match
+    # the carried seed exactly
+    used_cls = pack_classification(low, up, surf, apex)
+    s_new, x_res, lam_res, eq_res, score = accept_eval(x, mu_new)
+    # best-iterate tracking across PDAS steps: a cold/degenerate
+    # instance's classification can CYCLE between near-equivalent
+    # active sets; taking the last iterate would then be a lottery.
+    # Every PDAS step is acceptance-scored and the per-instance best
+    # (x, mu, s, cls, residuals) is what the attempt returns — if ANY
+    # visited classification is correct, the attempt accepts.
+    best = (x, mu_new, s_new, used_cls, x_res, lam_res, score)
 
     if newton_steps > 1:
         nlow, nup, nsurf, napex, nlam, neta = next_classification(
@@ -719,92 +819,104 @@ def polish_reduced(
         changed_i = changed_per_instance(
             low, up, surf, apex, lam_lin, nlow, nup, nsurf, napex, nlam
         )
+        # an already-acceptable instance (score <= 1) needs no further
+        # PDAS steps — freezing it both saves seed maintenance and
+        # keeps its best iterate from being displaced
+        changed_i = changed_i & (score > 1.0)
         # seed maintenance in the PDAS body is gathered onto the
-        # changed instances (capacity-limited): unchanged instances'
-        # rows are identical, so their seeds stay valid — at batch
-        # scale a few flipped stragglers must not trigger full-batch
-        # (B, N2, N2) matmul streams every step
+        # changed instances: unchanged instances' rows are identical, so
+        # their seeds stay valid — at batch scale a few flipped
+        # stragglers must not trigger full-batch (B, N2, N2) matmul
+        # streams every step. The gather LOOPS until every changed
+        # instance has been refreshed (no silent capacity cap).
         C2 = min(B, max(128, B // 8))
+
+        def _refresh_changed(X32, changed_i, Mb):
+            def rbody(carry):
+                X, rem = carry
+                idx = jnp.argsort(
+                    -rem.astype(Mb.dtype), stable=True
+                )[:C2]
+                X_sub = _seed_refresh_or_rebuild(X[idx], Mb[idx], 2)
+                X = X.at[idx].set(
+                    jnp.where(rem[idx][:, None, None], X_sub, X[idx])
+                )
+                rem = rem.at[idx].set(False)
+                return X, rem
+
+            X32, _ = jax.lax.while_loop(
+                lambda c: jnp.any(c[1]), rbody, (X32, changed_i)
+            )
+            return X32
 
         def cond(st):
             return (st[0] < newton_steps) & jnp.any(st[1])
 
         def body(st):
             (it, changed_i, low, up, surf, apex, lam_lin, eta, X32,
-             x, y, mu_new) = st
+             x, y, mu_new, best, _seed_cls) = st
             Q_aug, pin, A2, A2t, Dtail, r1_b, r2_b = assemble(
                 low, up, surf, apex, lam_lin, eta
             )
             Mb = _assemble_m2_masked(Q_aug.hi, pin, A2.hi, Dtail)
-            idx = jnp.argsort(
-                -changed_i.astype(Mb.dtype), stable=True
-            )[:C2]
-            X_sub = _seed_refresh_or_rebuild(X32[idx], Mb[idx], 2)
-            X32 = X32.at[idx].set(
-                jnp.where(changed_i[idx][:, None, None], X_sub, X32[idx])
-            )
+            X32 = _refresh_changed(X32, changed_i, Mb)
             x, y, raw = _solve_structured_masked(
                 X32, Q_aug, pin, A2, A2t, Dtail, r1_b, r2_b
             )
             mu_new = reconstruct_duals(x, y, raw, low, up, surf, apex)
+            used_cls = pack_classification(low, up, surf, apex)
+            s_new, x_res, lam_res, _eq_res, score = accept_eval(
+                x, mu_new
+            )
+            (bx, bmu, bs, bcls, bxr, blr, bscore) = best
+            better = score < bscore
+            bN = better[None, :]
+
+            def sel_ds(new: DS, old: DS) -> DS:
+                return ds.where(bN, new, old)
+
+            best = (
+                sel_ds(x, bx),
+                sel_ds(mu_new, bmu),
+                sel_ds(s_new, bs),
+                jnp.where(bN, used_cls, bcls),
+                jnp.where(better, x_res, bxr),
+                jnp.where(better, lam_res, blr),
+                jnp.minimum(score, bscore),
+            )
             nlow, nup, nsurf, napex, nlam, neta = next_classification(
                 x, y, mu_new
             )
             changed_i = changed_per_instance(
                 low, up, surf, apex, lam_lin, nlow, nup, nsurf, napex,
                 nlam,
-            )
+            ) & (score > 1.0)
             return (it + 1, changed_i, nlow, nup, nsurf, napex, nlam,
-                    neta, X32, x, y, mu_new)
+                    neta, X32, x, y, mu_new, best, used_cls)
 
         (_, _, low, up, surf, apex, lam_lin, eta, X32,
-         x, y, mu_new) = jax.lax.while_loop(
+         x, y, mu_new, best, used_cls) = jax.lax.while_loop(
             cond, body,
             (jnp.int32(1), changed_i, nlow, nup, nsurf, napex, nlam,
-             neta, X32, x, y, mu_new),
+             neta, X32, x, y, mu_new, best, used_cls),
         )
 
-    # --- self-validating acceptance: projection consistency at full eps
-    xc = DS(x.hi[np.asarray(ci)], x.lo[np.asarray(ci)])
-    t = ds.add(xc, mu_new)
-    parts = []
-    if kb:
-        parts.append(ds.clip(DS(t.hi[:kb], t.lo[:kb]), lbc, ubc))
-    if nc:
-        parts.append(
-            project_cone_ds(DS(t.hi[kb:], t.lo[kb:]), mu_eff)
-        )
-    s_new = parts[0] if len(parts) == 1 else _concat0(parts[0], parts[1])
-
-    res = ds.sub(xc, s_new)
-    wres = jnp.abs(res.hi) * wk
-    zeros_b = jnp.zeros((B,), f32)
-    x_res = jnp.max(wres[:kb], axis=0) if kb else zeros_b
-    lam_res = jnp.max(wres[kb:], axis=0) if nc else zeros_b
-
-    r_eq = ds.sub(matvec_ds(transpose_ds(qps.A_eq), x), qps.b_eq)
-    eq_res = (
-        jnp.max(jnp.abs(r_eq.hi) / e_scale, axis=0)
-        if m else zeros_b
-    )
-    finite = (
-        jnp.all(jnp.isfinite(x.hi), axis=0)
-        & jnp.all(jnp.isfinite(mu_new.hi), axis=0)
-    )
-    accept = (
-        (x_res < eps_bound)
-        & (lam_res < eps_fcone)
-        & (eq_res < eps_bound)
-        & finite
-    )
+    # --- self-validating acceptance of the per-instance BEST iterate:
+    # its residuals were evaluated by the same projection-consistency +
+    # equality test as the plain loop, at full eps, in ds precision.
+    # NB `used_cls` (the classification the SEED was last refreshed
+    # against) is returned as-is — it deliberately tracks the seed, not
+    # the best iterate, so carried (seed, cls) pairs stay consistent.
+    x, mu_new, s_new, _best_cls, x_res, lam_res, score = best
+    accept = score < 1.0
     if os.environ.get("FCCQP_POLISH_DEBUG"):
         jax.debug.print(
-            "polish: accept={a} x_res={x} lam_res={l} eq_res={e}",
-            a=accept, x=x_res, l=lam_res, e=eq_res,
+            "polish: accept={a} x_res={x} lam_res={l} score={s}",
+            a=accept, x=x_res, l=lam_res, s=score,
         )
     return PolishResult(
         x=x, mu=mu_new, s=s_new, accept=accept, x_res=x_res,
-        lam_res=lam_res, seed=X32,
+        lam_res=lam_res, seed=X32, cls=used_cls,
     )
 
 

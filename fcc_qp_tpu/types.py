@@ -109,6 +109,20 @@ class FCCQPDetails:
     # factorization would otherwise be silent — this field makes
     # equality infeasibility observable per instance.
     equality_viol: Array = 0.0
+    # Per-phase iteration telemetry (extensions; zero on engines
+    # without the corresponding phase). `n_iter` alone conflates cheap
+    # plain-f32 approach iterations with double-single endgame
+    # iterations and polish retries, which makes throughput/iteration
+    # regressions undiagnosable — these split it:
+    #   n_iter_f32:     plain-f32 approach + polish-round iterations
+    #   n_iter_ds:      double-single endgame iterations
+    #   polish_attempts: PDAS polish attempts run for this instance
+    #   polish_accepted: 1 if the final point came from an accepted
+    #                    polish (0: plain ADMM convergence / maxed out)
+    n_iter_f32: Array = 0
+    n_iter_ds: Array = 0
+    polish_attempts: Array = 0
+    polish_accepted: Array = 0
 
     # Aliases matching the reference's Python binding names
     # (`src/main.cpp:24-25`).

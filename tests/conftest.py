@@ -26,6 +26,14 @@ import jax  # noqa: E402
 # virtual 8-device CPU mesh regardless.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache: the suite's large jitted programs cost
+# minutes of XLA:CPU compile time per cold run; repeat runs (and the
+# per-file isolated processes of run_tests.py) skip them entirely.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("FCCQP_XLA_CACHE", "/tmp/fccqp_xla_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -66,10 +66,17 @@ qps = generate_osc_batch(QUADRUPED, B, seed=7)
 stacked = stack_qp_dicts(qps)
 bds_host = to_ds_batch(stacked)  # host-identical on both processes
 
+# Flagship configuration (bench.py settings): PDAS polish with retry
+# rounds + 6 re-linearization steps. max_iter matches the bench (3000):
+# this seed includes a degenerate instance — a friction cone exactly at
+# its apex boundary (f_z = 0 at the optimum) — on which even the
+# reference algorithm needs ~2.4k ADMM iterations at rho=1 (verified
+# against the f64 oracle; the reference's own default budget is 1000,
+# `src/fcc_qp.hpp:30-35`). 100% convergence is asserted at this budget.
 opts = FCCQPOptions(
-    max_iter=400, rho=1.0, eps_fcone=1e-6, eps_bound=1e-6,
+    max_iter=3000, rho=1.0, eps_fcone=1e-6, eps_bound=1e-6,
     presolve="operator", scaling=True, splitting="constrained",
-    polish=True,
+    polish=True, polish_rounds=4, polish_newton_steps=6,
 )
 shape = QUADRUPED.shape
 con_idx = constrained_indices(bds_host, shape)

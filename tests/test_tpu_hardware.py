@@ -23,7 +23,7 @@ def test_pallas_equals_xla_on_tpu():
             [sys.executable, worker],
             capture_output=True,
             text=True,
-            timeout=840,
+            timeout=2400,
             env=env,
         )
     except subprocess.TimeoutExpired:

@@ -1,0 +1,79 @@
+"""Warm-replay regression test at the BENCH configuration.
+
+Round 3 shipped an 8x warm-iteration regression (warm_iters_p50 43 ->
+349) that no test caught because nothing exercised the bench settings
+(rho=0.05, scaling+constrained+polish with polish_rounds=4, lazy hybrid
+factorization) on a multi-step replay. This pins the warm-start
+contract at exactly that configuration, scaled down:
+
+* every solve converges (status == kSuccess) at eps = 1e-6;
+* warm steps are polished-accepted at >= 90% (the warm path is ONE
+  PDAS solve from the carried seed + classification — the analog of
+  the reference's skip-presolve warm solve, `fcc_qp.cpp:159`, whose
+  hardware config needs max_iter=15, fccqp.pdf p.6 Table 1);
+* warm-step median iterations <= 15 (reference Table 1 parity; the
+  accepted instances report ~0).
+"""
+
+import numpy as np
+import pytest
+
+from fcc_qp_tpu.config import FCCQPOptions
+from fcc_qp_tpu.core.ds_engine import replay_ds_streams, to_ds_batch
+from fcc_qp_tpu.models.osc import CASSIE, generate_osc_sequence
+from fcc_qp_tpu.utils.io import stack_qp_dicts
+
+S = 16
+STEPS = 4
+
+BENCH_OPTS = FCCQPOptions(
+    max_iter=600, rho=0.05, eps_fcone=1e-6, eps_bound=1e-6,
+    adaptive_rho=False, presolve="operator",
+    scaling=True, splitting="constrained", kkt_refine_steps=1,
+    polish=True, polish_rounds=4, polish_newton_steps=4,
+)
+
+
+@pytest.fixture(scope="module")
+def replay_sol():
+    qps = generate_osc_sequence(
+        CASSIE, S * STEPS, seed=0, smoothness=0.002
+    )
+    batch = to_ds_batch(stack_qp_dicts(qps))
+    sols, _ = replay_ds_streams(
+        batch, CASSIE.shape, BENCH_OPTS, n_streams=S
+    )
+    return sols
+
+
+class TestWarmReplayBenchConfig:
+    def test_all_converged(self, replay_sol):
+        st = np.asarray(replay_sol.details.solve_status)
+        assert (st == 0).all(), np.unique(st, return_counts=True)
+        rb = np.asarray(replay_sol.details.admm_residual_bounds)
+        rc = np.asarray(replay_sol.details.admm_residual_friction_cone)
+        assert rb.max() < 1e-6 + 1e-9
+        assert rc.max() < 1e-6 + 1e-9
+
+    def test_warm_acceptance_rate(self, replay_sol):
+        acc = np.asarray(replay_sol.details.polish_accepted).reshape(
+            S, STEPS
+        )
+        warm_acc = acc[:, 1:].mean()
+        assert warm_acc >= 0.90, f"warm polish acceptance {warm_acc:.2%}"
+
+    def test_warm_iterations_reference_parity(self, replay_sol):
+        n = np.asarray(replay_sol.details.n_iter).reshape(S, STEPS)
+        warm_p50 = np.median(n[:, 1:])
+        assert warm_p50 <= 15, f"warm n_iter p50 {warm_p50}"
+
+    def test_phase_telemetry_populated(self, replay_sol):
+        d = replay_sol.details
+        nf = np.asarray(d.n_iter_f32)
+        nd = np.asarray(d.n_iter_ds)
+        npa = np.asarray(d.polish_attempts)
+        n = np.asarray(d.n_iter)
+        assert nf.shape == n.shape and nd.shape == n.shape
+        # total = f32 + ds on this engine
+        assert (n == nf + nd).all()
+        assert (npa >= 1).all()  # polish attempted on every solve

@@ -19,6 +19,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# persistent compilation cache: the two flagship programs cost minutes
+# through the remote-compile relay on a cold cache
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("FCCQP_XLA_CACHE", "/tmp/fccqp_xla_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 if jax.devices()[0].platform != "tpu":
     print(f"SKIP: no TPU attached (platform={jax.devices()[0].platform})")
     sys.exit(42)
@@ -33,10 +41,15 @@ from fcc_qp_tpu.utils.io import stack_qp_dicts  # noqa: E402
 bds = jax.device_put(
     to_ds_batch(stack_qp_dicts(generate_osc_batch(CASSIE, 128, seed=0)))
 )
+# flagship (bench.py) configuration: two-phase f32 approach (exercising
+# the fused `admm_chunk_pallas32` kernel incl. polish round chunks) +
+# PDAS polish + ds endgame (`admm_chunk_pallas`). polish_rounds=4
+# matches the bench; at rounds=1 one straggler instance of this seed
+# misses 1e-6 within the budget on both engines.
 opts = FCCQPOptions(
     max_iter=2000, rho=0.05, eps_fcone=1e-6, eps_bound=1e-6,
     presolve="operator", scaling=True, splitting="constrained",
-    polish=True,
+    polish=True, polish_rounds=4, polish_newton_steps=6,
 )
 
 ref, _ = solve_batched_ds(bds, CASSIE.shape, opts, timing=False)
