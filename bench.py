@@ -224,6 +224,18 @@ def main():
         f"max_resid=({float(np.max(np.asarray(sol.details.admm_residual_bounds))):.2e},"
         f"{float(np.max(np.asarray(sol.details.admm_residual_friction_cone))):.2e})"
     )
+    try:
+        cold_accept = 100.0 * float(
+            np.asarray(sol.details.polish_accepted).mean()
+        )
+        log(
+            f"cold phases: f32_p50={np.median(np.asarray(sol.details.n_iter_f32)):.0f} "
+            f"ds_p50={np.median(np.asarray(sol.details.n_iter_ds)):.0f} "
+            f"polish_accept={cold_accept:.1f}% "
+            f"attempts_mean={np.asarray(sol.details.polish_attempts).mean():.2f}"
+        )
+    except (AttributeError, TypeError):
+        cold_accept = None
 
     out = {
         "metric": "qp_solves_per_sec_per_chip",
@@ -233,6 +245,8 @@ def main():
         "cold_pipelined_solves_per_sec": round(pipe_rate, 1),
         "cold_converged_pct": round(100.0 * conv, 2),
     }
+    if cold_accept is not None:
+        out["cold_polish_accept_pct"] = round(cold_accept, 2)
 
     # --- headline: warm-started multi-stream replay (BASELINE config 2,
     # the reference benchmark loop semantics: fcc_qp_test.py:85-89) ---
@@ -283,6 +297,15 @@ def main():
         out["warm_iters_p50"] = float(np.median(warm))
         out["replay_converged_pct"] = round(100.0 * conv_r, 2)
         out["replay_T"] = T
+        try:
+            acc_r = np.asarray(sols.details.polish_accepted).reshape(
+                args.batch, args.steps
+            )
+            warm_acc = 100.0 * float(acc_r[:, 1:].mean())
+            log(f"warm polish acceptance: {warm_acc:.1f}%")
+            out["warm_polish_accept_pct"] = round(warm_acc, 2)
+        except (AttributeError, TypeError, ValueError):
+            pass
     else:
         out["value"] = round(cold_rate, 1)
 

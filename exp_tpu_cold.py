@@ -28,9 +28,14 @@ opts = FCCQPOptions(
     polish=True, polish_rounds=4, polish_newton_steps=6,
 )
 
-for use_pallas, name in ((False, "xla"), (True, "pallas")):
+configs = [
+    ("lazy", opts),
+    ("nolazy", opts.replace(lazy_exact=False)),
+    ("dsfactor", opts.replace(kkt_factor="ds")),
+]
+for name, o in configs:
     sol, _ = solve_batched_ds(
-        bds, CASSIE.shape, opts, use_pallas=use_pallas, timing=False
+        bds, CASSIE.shape, o, use_pallas=False, timing=False
     )
     d = sol.details
     st = np.asarray(d.solve_status)

@@ -115,6 +115,11 @@ class FCCQPOptions:
     polish_newton_steps: int = 4
     polish_rounds: int = 1
     polish_interval: int = 64
+    # Defer the ds-exact operator build until after the polish (hybrid
+    # factorization + polish only; see `core.ds_engine._lazy_exact`).
+    # False forces the exact operator from the start — mainly a
+    # diagnostic/ablation knob.
+    lazy_exact: bool = True
 
     def __post_init__(self):
         if self.max_iter <= 0:

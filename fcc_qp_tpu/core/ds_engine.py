@@ -947,7 +947,8 @@ def _lazy_exact(opts: FCCQPOptions) -> bool:
         opts.phase1_tol, opts.polish_tol if opts.polish else 0.0
     )
     return (
-        opts.kkt_factor == "hybrid"
+        opts.lazy_exact
+        and opts.kkt_factor == "hybrid"
         and opts.polish
         and coarse > max(opts.eps_bound, opts.eps_fcone)
     )

@@ -390,23 +390,21 @@ def _polish_seed_f32(Mb: Array, ns_iters: int = 48) -> Array:
     X = jnp.swapaxes(Mb, -1, -2) / jnp.maximum(fro2, 1e-30)[:, None, None]
     eye2 = 2.0 * jnp.eye(N2, dtype=f32)
 
-    # mixed precision: NS is self-correcting, so the long linear
-    # approach phase runs on fast low-precision MXU passes (residual
-    # plateaus ~1e-2) and only the last few quadratic steps pay for
-    # HIGHEST (6-pass bf16) to reach the f32 floor — ~3x cheaper than
-    # all-HIGHEST at the same final residual.
-    lo_p = jax.lax.Precision.DEFAULT
-    mm_lo = lambda a, b: jnp.matmul(a, b, precision=lo_p)
-    hi_iters = min(6, ns_iters)
-
-    def body_lo(_, X):
-        return mm_lo(X, eye2 - mm_lo(Mb, X))
-
+    # every pass at HIGHEST (true-f32) matmul precision. A "cheap
+    # phase" at DEFAULT precision is a trap on TPU: DEFAULT is a
+    # single bf16 MXU pass, and for the kappa ~ 1e3 of Ruiz-
+    # equilibrated OSC KKTs Newton-Schulz under bf16 roundoff
+    # (kappa * eps_bf16 > 1) does not contract AT ALL — the long
+    # approach phase then does nothing and the few HIGHEST steps
+    # can't recover from the Frobenius seed, leaving a ~O(1)-residual
+    # inverse that silently destroys every downstream polish solve
+    # (measured on v5e: polish acceptance 15% vs 100% on CPU, where
+    # DEFAULT is true f32). All-HIGHEST costs ~2 ms per (4096, 102,
+    # 102) build on v5e — cold-path only; replay refreshes instead.
     def body(_, X):
         return mm(X, eye2 - mm(Mb, X))
 
-    X = jax.lax.fori_loop(0, ns_iters - hi_iters, body_lo, X)
-    X = jax.lax.fori_loop(0, hi_iters, body, X)
+    X = jax.lax.fori_loop(0, ns_iters, body, X)
 
     if os.environ.get("FCCQP_POLISH_DEBUG"):
         R = jnp.eye(N2, dtype=f32) - mm(Mb, X)
@@ -572,10 +570,6 @@ def polish_reduced(
             init_class, kb, ncones
         )
 
-    sel_np = np.zeros((kb, nv), np.float32)
-    if kb:
-        sel_np[np.arange(kb), np.asarray(ci[:kb])] = 1.0
-    sel = jnp.asarray(sel_np)
     r2_eq = qps.b_eq
     ci_box = np.asarray(ci[:kb])
 
@@ -588,14 +582,21 @@ def polish_reduced(
         pv_hi = jnp.zeros((nv, B), f32)
         pv_lo = jnp.zeros((nv, B), f32)
         if kb:
+            # static-index scatters, NOT a selection-matrix einsum: on
+            # TPU an einsum at default precision is a bf16 MXU pass
+            # that would round the pinned bound VALUES to an 8-bit
+            # mantissa (~1e-3 relative) — every pinned coordinate then
+            # misses its bound by that much and the polish acceptance
+            # test rejects the whole instance. Scatters are exact.
+            # (Box coordinates and the cone segment are disjoint.)
             act_box = (low | up).astype(f32)
-            pin = pin + jnp.einsum("kn,kb->nb", sel, act_box)
+            pin = pin.at[ci_box].set(act_box)
             vb = ds.where(
                 low, lbc, ds.where(up, ubc, ds.zeros((kb, B), f32))
             )
             vb = ds.where((low | up), vb, ds.zeros((kb, B), f32))
-            pv_hi = pv_hi + jnp.einsum("kn,kb->nb", sel, vb.hi)
-            pv_lo = pv_lo + jnp.einsum("kn,kb->nb", sel, vb.lo)
+            pv_hi = pv_hi.at[ci_box].set(vb.hi)
+            pv_lo = pv_lo.at[ci_box].set(vb.lo)
         if nc:
             apex3 = jnp.repeat(apex.astype(f32), 3, axis=0)  # (nc, B)
             pin = pin.at[ls:ls + nc].add(apex3)

@@ -120,10 +120,12 @@ def main(argv=None):
     B = args.per_device_batch * n_dev
     qps = generate_osc_batch(model, B, seed=0)
     qp_ds = to_ds_batch(stack_qp_dicts(qps))
+    # flagship (bench.py) configuration — rho tuned for the equilibrated
+    # Cassie log; retry rounds give ~100% polish acceptance
     opts = FCCQPOptions(
-        max_iter=600, rho=1.0, eps_fcone=1e-6, eps_bound=1e-6,
+        max_iter=2000, rho=0.05, eps_fcone=1e-6, eps_bound=1e-6,
         scaling=True, splitting="constrained", presolve="operator",
-        polish=True,
+        polish=True, polish_rounds=4, polish_newton_steps=6,
     )
     report = run_scaling_bench(model.shape, qp_ds, opts)
     print(json.dumps(report))
