@@ -33,11 +33,13 @@ from fcc_qp_tpu.utils.timing import sync
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
 stacked = stack_qp_dicts(
-    generate_osc_sequence(CASSIE, 2 * B, seed=0, smoothness=0.002)
+    generate_osc_sequence(CASSIE, B + 1, seed=0, smoothness=0.002)
 )
 qp_all = jax.device_put(to_ds_batch(stacked))
+# TRUE warm pairing: instance i solves timestep i cold, then timestep
+# i+1 warm (0.2% drift) — overlapping slices, like the replay streams
 step0 = jax.tree.map(lambda a: a[..., :B], qp_all)
-step1 = jax.tree.map(lambda a: a[..., B:], qp_all)
+step1 = jax.tree.map(lambda a: a[..., 1:B + 1], qp_all)
 shape = CASSIE.shape
 opts = FCCQPOptions(
     max_iter=3000, rho=0.05, eps_fcone=1e-6, eps_bound=1e-6,
@@ -149,3 +151,61 @@ bench(
     "matvec_ds (60x60xB fori chain)",
     lambda: mv_j(qps_s.Q, qps_s.b),
 )
+
+# --- isolate attempt0: polish_reduced alone on the warm state ---
+from functools import partial as _partial
+
+import fcc_qp_tpu.ops.ds as _ds
+from fcc_qp_tpu.core.ds_engine import _gather0, _prepare_reduced
+from fcc_qp_tpu.ops.polish import polish_reduced
+
+ci_np = np.asarray(con_idx, np.int64)
+kb_ = len(con_idx) - shape.nc
+
+prep1 = _prepare_reduced_jit(
+    step1, ws, shape, opts, True, con_idx, kkt_seed=cache.kkt_seed
+)
+qps1 = prep1.qps
+d1 = prep1.d
+wk1 = d1[ci_np]
+lbc1 = _gather0(qps1.lb, ci_np[:kb_])
+ubc1 = _gather0(qps1.ub, ci_np[:kb_])
+xc0 = _gather0(prep1.x_init, ci_np)
+mu0 = prep1.mu0
+
+
+def attempt0(ns):
+    @jax.jit
+    def f(qps_, xc0_, mu0_, rho_, wk_, lbc_, ubc_, e_, seed_, cls_):
+        return polish_reduced(
+            qps_, shape, ci_np, kb_, xc0_, mu0_, rho_, wk_, lbc_, ubc_,
+            e_, opts.eps_bound, opts.eps_fcone, opts.polish_act_tol,
+            ns, seed=seed_, init_class=cls_,
+        )
+
+    return lambda: f(qps1, xc0, mu0, prep1.rho0, wk1, lbc1, ubc1,
+                     prep1.e, cache.polish_seed, cache.polish_cls)
+
+
+for ns in (1, 2, 4):
+    try:
+        bench(f"polish_reduced warm ns={ns}", attempt0(ns))
+    except Exception as e:
+        print(f"polish_reduced warm ns={ns}: FAILED {type(e).__name__}")
+
+# prepare WITHOUT the kkt refresh (cold-build compare)
+bench(
+    "prepare (no carried seed)",
+    lambda: _prepare_reduced_jit(step1, ws, shape, opts, True, con_idx),
+)
+
+# acceptance-vs-steps distribution on warm data
+for ns in (1, 2, 3, 4):
+    try:
+        p = attempt0(ns)()
+        sync(p.accept)
+        acc = float(np.asarray(p.accept).mean())
+        sc_ = np.asarray(p.x_res)
+        print(f"ns={ns}: accept={acc*100:.2f}%")
+    except Exception as e:
+        print(f"ns={ns}: FAILED {type(e).__name__}")

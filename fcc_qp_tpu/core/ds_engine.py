@@ -94,6 +94,13 @@ class OperatorCache(NamedTuple):
     # re-classification flips near-boundary rows every step, which
     # defeats the Newton-Schulz seed refresh)
     polish_cls: Optional[Array] = None   # (2*kb + 2*ncones, B) bool
+    # carried Ruiz scale factors: scaling is an exact power-of-two
+    # change of variables, so the previous step's factors equilibrate
+    # 0.1%-drifted data just as well — reusing them both skips the
+    # per-step Ruiz sweeps AND keeps the scaled KKT (and with it every
+    # carried inverse seed) from jumping when a re-computed factor
+    # crosses a power-of-two boundary
+    scales: Optional[tuple] = None       # ops.scaling.Scaling
 
 
 def _split64(a: np.ndarray) -> DS:
@@ -620,7 +627,13 @@ def _iterate_full(
     eps_fcone = jnp.asarray(opts.eps_fcone, f32)
     eps_bound = jnp.asarray(opts.eps_bound, f32)
 
-    K = opts.adaptive_rho_interval if opts.adaptive_rho else opts.max_iter
+    # chunked iteration (see _iterate_reduced: a chunk's fori runs its
+    # full masked length; small chunks let the while_loop exit early)
+    K = (
+        opts.adaptive_rho_interval
+        if opts.adaptive_rho
+        else min(opts.max_iter, 64)
+    )
     n_chunks = -(-opts.max_iter // K)
 
     mu_x0, mu_lam0 = prep.mu_x0, prep.mu_lam0
@@ -897,6 +910,7 @@ class _PrepReduced(NamedTuple):
     qps: QPBatchDS      # scaled problem
     d: Array            # (n, B) variable scales
     e: Array            # (m, B) equality-row scales
+    cost_c: Array       # (B,) cost scale (with d/e: the full Scaling)
     rho0: Array
     mu0: DS             # (k, B) initial scaled duals
     x_init: DS          # (n, B) initial scaled primal
@@ -912,8 +926,12 @@ class _PrepReduced(NamedTuple):
     seed_bad: Optional[Array] = None
 
 
-def _scale_reduced(qp, shape, opts):
+def _scale_reduced(qp, shape, opts, carried=None):
     """Ruiz-equilibrate (or pass through) the batch.
+
+    ``carried``: optional `Scaling` from a previous replay step
+    (`OperatorCache.scales`) — reused instead of recomputing (see the
+    cache field's rationale).
 
     Equilibration is FORCED whenever ``splitting == 'constrained'``,
     regardless of ``opts.scaling``: removing rho from the free
@@ -927,8 +945,13 @@ def _scale_reduced(qp, shape, opts):
     """
     f32 = qp.Q.hi.dtype
     if opts.scaling or opts.splitting == "constrained":
-        sc = ruiz_scaling(
-            qp.Q.hi, qp.A_eq.hi, qp.b.hi, shape, iters=opts.scaling_iters
+        sc = (
+            carried
+            if carried is not None
+            else ruiz_scaling(
+                qp.Q.hi, qp.A_eq.hi, qp.b.hi, shape,
+                iters=opts.scaling_iters,
+            )
         )
         return apply_scaling(qp, sc, shape), sc
     sc = identity_scaling(
@@ -979,20 +1002,49 @@ def _factor_reduced_f32(
             X32, seed_res = kkt_inverse_f32_refresh(
                 kkt_seed, qp.Q, qp.A_eq, rho_diag
             )
+            # cold rescue of non-contracting refreshes, GATHERED: at
+            # stream scale >=1 of B instances trips on ~every step, and
+            # a full-batch rebuild (two SPD NS inversions, ~60 HIGHEST
+            # matmuls) would silently cost ~100 ms per replay step.
+            # Loops until the bad set is exhausted.
+            B_ = qp.batch
+            Cres = min(B_, max(128, B_ // 8))
+            rho_nb = (
+                rho_diag
+                if rho_diag.ndim == 2
+                else jnp.broadcast_to(rho_diag[None, :], (n, B_))
+            )
 
-            def _cold_rescue(X):
-                Xc, rc = kkt_inverse_f32_seed(qp.Q, qp.A_eq, rho_diag)
-                worse = (seed_res > 0.5)[None, None, :]
-                return (
-                    jnp.where(worse, Xc, X),
-                    jnp.where(seed_res > 0.5, rc, seed_res),
+            def _pass(c):
+                X, r_, rem = c
+                bad = rem > 0.5
+                idx = jnp.argsort(
+                    -bad.astype(X.dtype), stable=True
+                )[:Cres]
+                sel = bad[idx]
+                Qs = DS(qp.Q.hi[..., idx], qp.Q.lo[..., idx])
+                As = DS(qp.A_eq.hi[..., idx], qp.A_eq.lo[..., idx])
+                Xc, rc = kkt_inverse_f32_seed(Qs, As, rho_nb[:, idx])
+                X = X.at[..., idx].set(
+                    jnp.where(sel[None, None, :], Xc, X[..., idx])
                 )
+                r_ = r_.at[idx].set(jnp.where(sel, rc, r_[idx]))
+                rem = rem.at[idx].set(0.0)  # handled either way
+                return X, r_, rem
+
+            def _loop(c):
+                X, r_, rem = jax.lax.while_loop(
+                    lambda s: jnp.any(s[2] > 0.5),
+                    _pass,
+                    (c[0], c[1], c[1]),
+                )
+                return X, r_
 
             X32, seed_res = jax.lax.cond(
                 jnp.any(seed_res > 0.5),
-                _cold_rescue,
-                lambda X: (X, seed_res),
-                X32,
+                _loop,
+                lambda c: c,
+                (X32, seed_res),
             )
         r = jnp.concatenate([-qp.b.hi, qp.b_eq.hi], axis=0)
         xfull = jnp.einsum(
@@ -1027,6 +1079,7 @@ def _reduced_factor_fn(qps, opts, ci, mask):
 def _prepare_reduced(
     qp, warm, shape, opts, warm_start, con_idx,
     kkt_seed: Optional[Array] = None,
+    scales=None,
 ) -> _PrepReduced:
     """Stage 1 (the "factorization" phase): equilibration, warm-state
     setup, optional exact presolve, and the reduced KKT operator build.
@@ -1043,7 +1096,7 @@ def _prepare_reduced(
     kb = k - nc
     assert k > 0
 
-    qps, sc = _scale_reduced(qp, shape, opts)
+    qps, sc = _scale_reduced(qp, shape, opts, carried=scales)
     d = sc.d
     inv_d = 1.0 / d
     mask = np.zeros((nv,), np.float32)
@@ -1114,9 +1167,10 @@ def _prepare_reduced(
     if x_init is None:
         x_init = x_const0
     return _PrepReduced(
-        qps=qps, d=d, e=sc.e, rho0=rho0, mu0=mu0, x_init=x_init,
-        eq_c=eq_c, Fcc=Fcc0, xc_const=xc_const0, Fcolj=Fcolj0,
-        x_const=x_const0, kkt_seed=X32, seed_bad=seed_bad,
+        qps=qps, d=d, e=sc.e, cost_c=sc.c, rho0=rho0, mu0=mu0,
+        x_init=x_init, eq_c=eq_c, Fcc=Fcc0, xc_const=xc_const0,
+        Fcolj=Fcolj0, x_const=x_const0, kkt_seed=X32,
+        seed_bad=seed_bad,
     )
 
 
@@ -1195,7 +1249,18 @@ def _iterate_reduced(
     ubc = _gather0(qps.ub, ci[:kb])
     mu_eff = qps.friction_coeffs
 
-    K = opts.adaptive_rho_interval if opts.adaptive_rho else opts.max_iter
+    # iteration chunk size: the while_loops below can only test
+    # convergence BETWEEN chunks, and a chunk's fori runs its full
+    # length of (masked) work even when one straggler instance is
+    # active — K = max_iter would make every engaged loop cost the
+    # whole budget (measured ~300 ms of dead iterations per warm step
+    # at max_iter=3000, B=4096). 64 bounds the dead work per loop at
+    # ~5 ms while keeping the per-chunk convergence check amortized.
+    K = (
+        opts.adaptive_rho_interval
+        if opts.adaptive_rho
+        else min(opts.max_iter, 64)
+    )
     n_chunks = -(-opts.max_iter // K)
 
     rho0, mu0, x_init, eq_c = prep.rho0, prep.mu0, prep.x_init, prep.eq_c
@@ -1582,6 +1647,87 @@ def _iterate_reduced(
                 )
                 return st, p, acc
 
+            # RETRY attempts run on a capacity-GATHERED sub-batch of
+            # the not-yet-accepted instances: a full-batch polish
+            # attempt costs ~190 ms at B=4096 (v5e) no matter how few
+            # instances still need it, and on warm replay steps the
+            # reject set is a handful. The gather is not a correctness
+            # cap — instances beyond capacity are retried next round
+            # or finished by the exact-operator ds endgame.
+            C_r = min(B, max(128, B // 8))
+
+            def _gds(a: DS, idx) -> DS:
+                return DS(a.hi[..., idx], a.lo[..., idx])
+
+            def attempt_gathered(st: _RState, pol, n_attempts):
+                rem = ~pol.accept & ~st.done & (st.itv < opts.max_iter)
+                idx = jnp.argsort(-rem.astype(f32), stable=True)[:C_r]
+                sel = rem[idx]
+                sub = QPBatchDS(
+                    Q=_gds(qps.Q, idx), b=_gds(qps.b, idx),
+                    A_eq=_gds(qps.A_eq, idx), b_eq=_gds(qps.b_eq, idx),
+                    friction_coeffs=_gds(qps.friction_coeffs, idx),
+                    lb=_gds(qps.lb, idx), ub=_gds(qps.ub, idx),
+                )
+                p = polish_reduced(
+                    sub, shape, ci, kb, _gds(st.s, idx),
+                    _gds(st.mu, idx), st.rho[idx], wk[:, idx],
+                    _gds(lbc, idx), _gds(ubc, idx), prep.e[:, idx],
+                    opts.eps_bound, opts.eps_fcone,
+                    opts.polish_act_tol, opts.polish_newton_steps,
+                    seed=pol.seed[idx], init_class=None,
+                )
+                acc_s = p.accept & sel
+                if os.environ.get("FCCQP_ROUNDS_DEBUG"):
+                    jax.debug.print(
+                        "polish retry (gathered): pool={r} newly_acc={a}",
+                        r=jnp.sum(rem), a=jnp.sum(acc_s),
+                    )
+                accN = acc_s[None, :]
+
+                def scat_ds(full: DS, sub_v: DS, m_) -> DS:
+                    hi = full.hi.at[..., idx].set(
+                        jnp.where(m_, sub_v.hi, full.hi[..., idx])
+                    )
+                    lo = full.lo.at[..., idx].set(
+                        jnp.where(m_, sub_v.lo, full.lo[..., idx])
+                    )
+                    return DS(hi, lo)
+
+                def scat(full, sub_v, m_):
+                    return full.at[..., idx].set(
+                        jnp.where(m_, sub_v, full[..., idx])
+                    )
+
+                st = st._replace(
+                    s=scat_ds(st.s, p.s, accN),
+                    mu=scat_ds(st.mu, p.mu, accN),
+                    x_res_norm=scat(st.x_res_norm, p.x_res, acc_s),
+                    lam_res_norm=scat(st.lam_res_norm, p.lam_res, acc_s),
+                    n_iter=scat(st.n_iter, st.itv[idx], acc_s),
+                    done=st.done.at[idx].set(
+                        st.done[idx] | acc_s
+                    ),
+                )
+                selN = sel[None, :]
+                pol = pol._replace(
+                    x=scat_ds(pol.x, p.x, accN),
+                    accept=pol.accept.at[idx].set(
+                        pol.accept[idx] | acc_s
+                    ),
+                    # seed/cls updated for every RETRIED instance (the
+                    # pair stays consistent whether or not it accepted)
+                    seed=pol.seed.at[idx].set(
+                        jnp.where(sel[:, None, None], p.seed,
+                                  pol.seed[idx])
+                    ),
+                    cls=scat(pol.cls, p.cls, selN),
+                )
+                n_attempts = n_attempts.at[idx].add(
+                    sel.astype(jnp.int32)
+                )
+                return st, pol, n_attempts
+
         if warm_polish:
             # WARM attempt 0, straight from the warm-start state before
             # any iterations: a replay step drifts the data ~0.1%, so
@@ -1601,19 +1747,12 @@ def _iterate_reduced(
 
         st = jax.lax.while_loop(p1_cond, chunk_body32, lift32(st))
         if do_polish and warm_polish:
-            # coarse-point attempt for the warm-rejected instances only
-            # (cond-skipped when attempt 0 accepted the whole batch)
+            # coarse-point retry for the warm-rejected instances only,
+            # GATHERED (cond-skipped when attempt 0 accepted everyone)
             def attempt1_warm(carry):
                 st, pol, n_attempts = carry
-                prev_acc = pol.accept
-                st = st._replace(done=prev_acc)
-                st, p, acc1 = attempt(st, pol.seed)
-                pol = p._replace(
-                    x=ds.where(acc1[None, :], p.x, pol.x),
-                    accept=prev_acc | acc1,
-                )
-                n_attempts = n_attempts + jnp.where(~prev_acc, 1, 0)
-                return st, pol, n_attempts
+                st = st._replace(done=pol.accept)
+                return attempt_gathered(st, pol, n_attempts)
 
             st, pol, n_attempts = jax.lax.cond(
                 jnp.all(pol.accept | (st.itv >= opts.max_iter)),
@@ -1662,14 +1801,7 @@ def _iterate_reduced(
                     acc_mask = pol.accept
                     st = chunk_r(st)
                     st = st._replace(done=acc_mask)
-                    st, p, acc_r = attempt(st, pol.seed)
-                    accN = acc_r[None, :]
-                    pol = p._replace(
-                        x=ds.where(accN, p.x, pol.x),
-                        accept=acc_mask | acc_r,
-                    )
-                    n_attempts = n_attempts + jnp.where(~acc_mask, 1, 0)
-                    return st, pol, n_attempts
+                    return attempt_gathered(st, pol, n_attempts)
 
                 st, pol, n_attempts = jax.lax.cond(
                     jnp.all(pol.accept | (st.itv >= opts.max_iter)),
@@ -1705,7 +1837,11 @@ def _iterate_reduced(
         need = ~(st.done | (st.itv >= opts.max_iter))
         if prep.seed_bad is not None:
             need = need | (prep.seed_bad & ~(st.itv >= opts.max_iter))
-        C3 = min(B, max(128, B // 4))
+        # small gather: the common post-polish need set is a handful of
+        # instances (warm: ~0.05%, cold at flagship settings: ~2%);
+        # the build LOOPS until covered, so capacity only sets the
+        # granularity, not a cap
+        C3 = min(B, 128)
 
         def _gl(a: DS, idx) -> DS:
             return DS(a.hi[..., idx], a.lo[..., idx])
@@ -1845,10 +1981,13 @@ def _iterate_reduced(
         rho=st.rho,
     )
     if with_cache:
+        from fcc_qp_tpu.ops.scaling import Scaling
+
         cache = OperatorCache(
             kkt_seed=prep.kkt_seed,
             polish_seed=pol.seed if pol is not None else None,
             polish_cls=pol.cls if pol is not None else None,
+            scales=Scaling(d=prep.d, e=prep.e, c=prep.cost_c),
         )
         return FCCQPSolution(details=details, z=z), new_warm, cache
     return FCCQPSolution(details=details, z=z), new_warm
@@ -1880,6 +2019,7 @@ def _solve_ds_reduced_jit(
     prep = _prepare_reduced(
         qp, warm, shape, opts, warm_start, con_idx,
         kkt_seed=cache.kkt_seed if cache is not None else None,
+        scales=cache.scales if cache is not None else None,
     )
     return _iterate_reduced(
         qp, prep, shape, opts, con_idx, use_pallas, pallas_interpret,

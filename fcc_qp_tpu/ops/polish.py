@@ -66,6 +66,32 @@ class PolishResult(NamedTuple):
     #                round-1 KKT rows always match
 
 
+class _PCtx(NamedTuple):
+    """Batch-dependent data the polish helpers operate on; every leaf
+    has the batch as its LAST axis, so the PDAS continuation can gather
+    a sub-batch with one trailing-axis index."""
+
+    Q: DS
+    b: DS
+    A_eq: DS
+    b_eq: DS
+    fc: DS       # friction coefficients (ncones, B)
+    lbc: DS      # (kb, B)
+    ubc: DS
+    wk: Array    # (k, B) unscaling weights
+    rho: Array   # (B,)
+    e_scale: Array  # (m, B)
+
+
+def _gather_ctx(c: _PCtx, idx) -> _PCtx:
+    def g(a):
+        if isinstance(a, DS):
+            return DS(a.hi[..., idx], a.lo[..., idx])
+        return a[..., idx]
+
+    return _PCtx(*(g(f) for f in c))
+
+
 def pack_classification(low, up, surf, apex) -> Array:
     """Pack the four active-set masks into one (2*kb+2*ncones, B) bool
     array for carrying through scan/cache pytrees."""
@@ -570,17 +596,27 @@ def polish_reduced(
             init_class, kb, ncones
         )
 
-    r2_eq = qps.b_eq
     ci_box = np.asarray(ci[:kb])
 
-    def build_pins(low, up, apex):
+    # --- batch-data context: every helper below takes it explicitly so
+    # the PDAS continuation can run on capacity-GATHERED sub-batches
+    # (at batch scale a handful of re-classified instances must not
+    # trigger full-batch (B, N2, N2) work per PDAS step — measured
+    # ~150 ms/step at B=4096 on v5e for ~6 changed instances) ---
+    ctx = _PCtx(
+        Q=qps.Q, b=qps.b, A_eq=qps.A_eq, b_eq=qps.b_eq,
+        fc=mu_eff, lbc=lbc, ubc=ubc, wk=wk, rho=rho, e_scale=e_scale,
+    )
+
+    def build_pins(c: _PCtx, low, up, apex):
         """Pin mask + pinned values over the n coordinates: active box
         coordinates pinned to their bound, apex cones' three
         coordinates pinned to 0. (Box coordinates and the cone segment
         are disjoint by the reduced-engine ordering.)"""
-        pin = jnp.zeros((nv, B), f32)
-        pv_hi = jnp.zeros((nv, B), f32)
-        pv_lo = jnp.zeros((nv, B), f32)
+        Bc = c.b.hi.shape[-1]
+        pin = jnp.zeros((nv, Bc), f32)
+        pv_hi = jnp.zeros((nv, Bc), f32)
+        pv_lo = jnp.zeros((nv, Bc), f32)
         if kb:
             # static-index scatters, NOT a selection-matrix einsum: on
             # TPU an einsum at default precision is a bf16 MXU pass
@@ -592,17 +628,18 @@ def polish_reduced(
             act_box = (low | up).astype(f32)
             pin = pin.at[ci_box].set(act_box)
             vb = ds.where(
-                low, lbc, ds.where(up, ubc, ds.zeros((kb, B), f32))
+                low, c.lbc,
+                ds.where(up, c.ubc, ds.zeros((kb, Bc), f32)),
             )
-            vb = ds.where((low | up), vb, ds.zeros((kb, B), f32))
+            vb = ds.where((low | up), vb, ds.zeros((kb, Bc), f32))
             pv_hi = pv_hi.at[ci_box].set(vb.hi)
             pv_lo = pv_lo.at[ci_box].set(vb.lo)
         if nc:
-            apex3 = jnp.repeat(apex.astype(f32), 3, axis=0)  # (nc, B)
+            apex3 = jnp.repeat(apex.astype(f32), 3, axis=0)  # (nc, Bc)
             pin = pin.at[ls:ls + nc].add(apex3)
         return pin, DS(pv_hi, pv_lo)
 
-    def reconstruct_duals(x, y, raw, low, up, surf, apex):
+    def reconstruct_duals(c: _PCtx, x, y, raw, low, up, surf, apex):
         """rho * mu = lambda at the ADMM fixed point.
 
         Surface multipliers come from the solve's y tail; multipliers
@@ -610,24 +647,25 @@ def polish_reduced(
         evaluation ``raw = Q x + A2' y`` the final refinement pass
         already computed: y_pin = -(raw + b) at the pinned coordinate.
         """
-        w = ds.add(raw, qps.b)                       # (n, B)
+        Bc = c.b.hi.shape[-1]
+        w = ds.add(raw, c.b)                         # (n, Bc)
         if kb:
             w_box = DS(w.hi[ci_box], w.lo[ci_box])
             lam_box = ds.where(
-                (low | up), ds.neg(w_box), ds.zeros((kb, B), f32)
+                (low | up), ds.neg(w_box), ds.zeros((kb, Bc), f32)
             )
         else:
-            lam_box = ds.zeros((0, B), f32)
+            lam_box = ds.zeros((0, Bc), f32)
         if nc:
             lam_fin = DS(
-                x.hi[ls:ls + nc].reshape(ncones, 3, B),
-                x.lo[ls:ls + nc].reshape(ncones, 3, B),
+                x.hi[ls:ls + nc].reshape(ncones, 3, Bc),
+                x.lo[ls:ls + nc].reshape(ncones, 3, Bc),
             )
             _, gx, gy = _cone_geometry(lam_fin)
-            eta_f = DS(y.hi[m:], y.lo[m:])           # (ncones, B)
+            eta_f = DS(y.hi[m:], y.lo[m:])           # (ncones, Bc)
             w3 = DS(
-                w.hi[ls:ls + nc].reshape(ncones, 3, B),
-                w.lo[ls:ls + nc].reshape(ncones, 3, B),
+                w.hi[ls:ls + nc].reshape(ncones, 3, Bc),
+                w.lo[ls:ls + nc].reshape(ncones, 3, Bc),
             )
 
             def cone_coord(i, gcomp: DS) -> DS:
@@ -635,20 +673,22 @@ def polish_reduced(
                 surf_val = ds.mul(eta_f, gcomp)
                 return ds.where(
                     surf, surf_val,
-                    ds.where(apex, ds.neg(wi), ds.zeros((ncones, B), f32)),
+                    ds.where(
+                        apex, ds.neg(wi), ds.zeros((ncones, Bc), f32)
+                    ),
                 )
 
             lx = cone_coord(0, gx)
             ly = cone_coord(1, gy)
-            lz = cone_coord(2, ds.neg(mu_eff))
+            lz = cone_coord(2, ds.neg(c.fc))
             lam_cone = DS(
-                jnp.stack([lx.hi, ly.hi, lz.hi], axis=1).reshape(nc, B),
-                jnp.stack([lx.lo, ly.lo, lz.lo], axis=1).reshape(nc, B),
+                jnp.stack([lx.hi, ly.hi, lz.hi], axis=1).reshape(nc, Bc),
+                jnp.stack([lx.lo, ly.lo, lz.lo], axis=1).reshape(nc, Bc),
             )
             lam_all = _concat0(lam_box, lam_cone)
         else:
             lam_all = lam_box
-        return ds.mul_f32(lam_all, 1.0 / rho[None, :])
+        return ds.mul_f32(lam_all, 1.0 / c.rho[None, :])
 
     if nc:
         lam_lin = DS(
@@ -682,49 +722,51 @@ def polish_reduced(
     # classification inherited from the previous timestep) pays for
     # exactly ONE solve, while a cold batch runs up to `newton_steps`.
     ci_np = np.asarray(ci)
-    r2_tail0 = ds.zeros((ncones if nc else 0, B), f32)
 
-    def assemble(low, up, surf, apex, lam_lin, eta):
+    def assemble(c: _PCtx, low, up, surf, apex, lam_lin, eta):
+        Bc = c.b.hi.shape[-1]
         if nc:
-            Rsurf = _surf_rows(lam_lin, mu_eff, surf, nv, ls)
+            Rsurf = _surf_rows(lam_lin, c.fc, surf, nv, ls)
             Q_aug = _curvature_augmented_q(
-                qps.Q, eta, lam_lin, mu_eff, surf, ls
+                c.Q, eta, lam_lin, c.fc, surf, ls
             )
             Dtail = jnp.concatenate(
-                [jnp.zeros((m, B), f32), 1.0 - surf.astype(f32)],
+                [jnp.zeros((m, Bc), f32), 1.0 - surf.astype(f32)],
                 axis=0,
             )
         else:
-            Rsurf = ds.zeros((0, nv, B), f32)
-            Q_aug = qps.Q
-            Dtail = jnp.zeros((m, B), f32)
-        pin, pv = build_pins(low, up, apex)
-        A2 = _concat_rows(qps.A_eq, Rsurf)
-        r1 = ds.where(pin > 0, pv, ds.neg(qps.b))
-        r2 = _concat0(r2_eq, r2_tail0)
+            Rsurf = ds.zeros((0, nv, Bc), f32)
+            Q_aug = c.Q
+            Dtail = jnp.zeros((m, Bc), f32)
+        pin, pv = build_pins(c, low, up, apex)
+        A2 = _concat_rows(c.A_eq, Rsurf)
+        r1 = ds.where(pin > 0, pv, ds.neg(c.b))
+        r2 = _concat0(c.b_eq, ds.zeros((ncones if nc else 0, Bc), f32))
         return Q_aug, pin, A2, transpose_ds(A2), Dtail, r1, r2
 
-    def next_classification(x, y, mu_new):
+    def next_classification(c: _PCtx, x, y, mu_new, lam_lin, eta):
+        Bc = c.b.hi.shape[-1]
         xc_s = DS(x.hi[ci_np], x.lo[ci_np])
         t_s = ds.add(xc_s, mu_new)
         nlow, nup, nsurf, napex = classify_branch(
-            t_s, lbc, ubc, mu_eff, kb, nc, wk, inflate=0.0
+            t_s, c.lbc, c.ubc, c.fc, kb, nc, c.wk, inflate=0.0
         )
         if nc:
             nlam = DS(
-                x.hi[ls:ls + nc].reshape(ncones, 3, B),
-                x.lo[ls:ls + nc].reshape(ncones, 3, B),
+                x.hi[ls:ls + nc].reshape(ncones, 3, Bc),
+                x.lo[ls:ls + nc].reshape(ncones, 3, Bc),
             )
             neta = y.hi[m:]
         else:
             nlam, neta = lam_lin, eta
         return nlow, nup, nsurf, napex, nlam, neta
 
-    def changed_per_instance(low, up, surf, apex, lam_lin, nlow, nup,
-                             nsurf, napex, nlam):
-        """(B,) bool — instances whose classification flipped or whose
+    def changed_per_instance(c: _PCtx, low, up, surf, apex, lam_lin,
+                             nlow, nup, nsurf, napex, nlam):
+        """(Bc,) bool — instances whose classification flipped or whose
         cone linearization point moved materially."""
-        flips = jnp.zeros((B,), bool)
+        Bc = c.b.hi.shape[-1]
+        flips = jnp.zeros((Bc,), bool)
         if kb:
             flips = flips | jnp.any(nlow != low, axis=0) | jnp.any(
                 nup != up, axis=0
@@ -733,7 +775,7 @@ def polish_reduced(
             flips = flips | jnp.any(nsurf != surf, axis=0) | jnp.any(
                 napex != apex, axis=0
             )
-            wl3 = wk[kb:].reshape(ncones, 3, B)
+            wl3 = c.wk[kb:].reshape(ncones, 3, Bc)
             moved = jnp.any(
                 jnp.max(jnp.abs(nlam.hi - lam_lin.hi) * wl3, axis=1)
                 > 1e-4,
@@ -742,35 +784,38 @@ def polish_reduced(
             flips = flips | moved
         return flips
 
-    zeros_b = jnp.zeros((B,), f32)
     ci_arr = np.asarray(ci)
 
-    def accept_eval(x: DS, mu_new: DS):
+    def accept_eval(c: _PCtx, x: DS, mu_new: DS):
         """Projection-consistency + equality acceptance residuals of a
         candidate (x, mu) — the SAME test the plain ADMM loop uses, at
         full eps, in ds, weighted back to unscaled units. Returns
         (s_new, x_res, lam_res, eq_res, score) where score is the
         max residual/eps ratio (inf for non-finite candidates)."""
+        Bc = c.b.hi.shape[-1]
+        zb = jnp.zeros((Bc,), f32)
         xc = DS(x.hi[ci_arr], x.lo[ci_arr])
         t = ds.add(xc, mu_new)
         parts = []
         if kb:
-            parts.append(ds.clip(DS(t.hi[:kb], t.lo[:kb]), lbc, ubc))
+            parts.append(
+                ds.clip(DS(t.hi[:kb], t.lo[:kb]), c.lbc, c.ubc)
+            )
         if nc:
             parts.append(
-                project_cone_ds(DS(t.hi[kb:], t.lo[kb:]), mu_eff)
+                project_cone_ds(DS(t.hi[kb:], t.lo[kb:]), c.fc)
             )
         s_new = (
             parts[0] if len(parts) == 1 else _concat0(parts[0], parts[1])
         )
         res = ds.sub(xc, s_new)
-        wres = jnp.abs(res.hi) * wk
-        x_res = jnp.max(wres[:kb], axis=0) if kb else zeros_b
-        lam_res = jnp.max(wres[kb:], axis=0) if nc else zeros_b
-        r_eq = ds.sub(matvec_ds(transpose_ds(qps.A_eq), x), qps.b_eq)
+        wres = jnp.abs(res.hi) * c.wk
+        x_res = jnp.max(wres[:kb], axis=0) if kb else zb
+        lam_res = jnp.max(wres[kb:], axis=0) if nc else zb
+        r_eq = ds.sub(matvec_ds(transpose_ds(c.A_eq), x), c.b_eq)
         eq_res = (
-            jnp.max(jnp.abs(r_eq.hi) / e_scale, axis=0)
-            if m else zeros_b
+            jnp.max(jnp.abs(r_eq.hi) / c.e_scale, axis=0)
+            if m else zb
         )
         finite = (
             jnp.all(jnp.isfinite(x.hi), axis=0)
@@ -783,9 +828,9 @@ def polish_reduced(
         score = jnp.where(finite, score, jnp.inf)
         return s_new, x_res, lam_res, eq_res, score
 
-    # first solve (seed build / external-seed refresh happens here)
+    # first solve, FULL batch (seed build / external-seed refresh)
     Q_aug, pin, A2, A2t, Dtail, r1, r2 = assemble(
-        low, up, surf, apex, lam_lin, eta
+        ctx, low, up, surf, apex, lam_lin, eta
     )
     Mb = _assemble_m2_masked(Q_aug.hi, pin, A2.hi, Dtail)
     if seed is None:
@@ -799,12 +844,12 @@ def polish_reduced(
     x, y, raw = _solve_structured_masked(
         X32, Q_aug, pin, A2, A2t, Dtail, r1, r2
     )
-    mu_new = reconstruct_duals(x, y, raw, low, up, surf, apex)
-    # the classification the CURRENT seed/solve correspond to — carried
-    # out as PolishResult.cls so the next attempt's round-1 rows match
-    # the carried seed exactly
+    mu_new = reconstruct_duals(ctx, x, y, raw, low, up, surf, apex)
+    # per-instance classification the seed was last refreshed against —
+    # carried out as PolishResult.cls so the next attempt's round-1
+    # rows match the carried seed exactly
     used_cls = pack_classification(low, up, surf, apex)
-    s_new, x_res, lam_res, eq_res, score = accept_eval(x, mu_new)
+    s_new, x_res, lam_res, eq_res, score = accept_eval(ctx, x, mu_new)
     # best-iterate tracking across PDAS steps: a cold/degenerate
     # instance's classification can CYCLE between near-equivalent
     # active sets; taking the last iterate would then be a lottery.
@@ -815,92 +860,209 @@ def polish_reduced(
 
     if newton_steps > 1:
         nlow, nup, nsurf, napex, nlam, neta = next_classification(
-            x, y, mu_new
+            ctx, x, y, mu_new, lam_lin, eta
         )
         changed_i = changed_per_instance(
-            low, up, surf, apex, lam_lin, nlow, nup, nsurf, napex, nlam
+            ctx, low, up, surf, apex, lam_lin, nlow, nup, nsurf, napex,
+            nlam,
         )
-        # an already-acceptable instance (score <= 1) needs no further
+        # an already-acceptable instance (score < 1) needs no further
         # PDAS steps — freezing it both saves seed maintenance and
         # keeps its best iterate from being displaced
         changed_i = changed_i & (score > 1.0)
-        # seed maintenance in the PDAS body is gathered onto the
-        # changed instances: unchanged instances' rows are identical, so
-        # their seeds stay valid — at batch scale a few flipped
-        # stragglers must not trigger full-batch (B, N2, N2) matmul
-        # streams every step. The gather LOOPS until every changed
-        # instance has been refreshed (no silent capacity cap).
+
+        # --- PDAS continuation. Step 2 runs FULL-batch (cond-gated):
+        # after a warm-start or coarse-point first solve, most
+        # instances need exactly one re-linearization solve (the cone
+        # rows were linearized at the pre-solve point; the SQP error
+        # of solve 1 is quadratic in the drift but still above 1e-6),
+        # so a single fused full-batch pass is cheaper than pumping
+        # ~everyone through the gathered pool. Steps 3+ then run on
+        # capacity-gathered SUB-BATCHES of the still-changing
+        # instances: at that point the pool is a handful of hard
+        # instances, and a full-batch PDAS step costs ~150 ms at
+        # B=4096 (v5e) regardless of pool size. Instances stay in the
+        # pool until their classification stops changing, they become
+        # acceptable, or they exhaust their newton_steps budget — so
+        # total work tracks the work actually needed, cold or warm.
         C2 = min(B, max(128, B // 8))
+        steps_i = jnp.ones((B,), jnp.int32)
 
-        def _refresh_changed(X32, changed_i, Mb):
-            def rbody(carry):
-                X, rem = carry
-                idx = jnp.argsort(
-                    -rem.astype(Mb.dtype), stable=True
-                )[:C2]
-                X_sub = _seed_refresh_or_rebuild(X[idx], Mb[idx], 2)
-                X = X.at[idx].set(
-                    jnp.where(rem[idx][:, None, None], X_sub, X[idx])
-                )
-                rem = rem.at[idx].set(False)
-                return X, rem
-
-            X32, _ = jax.lax.while_loop(
-                lambda c: jnp.any(c[1]), rbody, (X32, changed_i)
-            )
-            return X32
+        carry0 = (
+            changed_i, steps_i,
+            low, up, surf, apex, lam_lin, eta,
+            X32, best, used_cls,
+        )
 
         def cond(st):
-            return (st[0] < newton_steps) & jnp.any(st[1])
+            changed, steps = st[0], st[1]
+            return jnp.any(changed & (steps < newton_steps))
 
-        def body(st):
-            (it, changed_i, low, up, surf, apex, lam_lin, eta, X32,
-             x, y, mu_new, best, _seed_cls) = st
-            Q_aug, pin, A2, A2t, Dtail, r1_b, r2_b = assemble(
-                low, up, surf, apex, lam_lin, eta
+        def full_pass(st):
+            (changed, steps, low, up, surf, apex, lam_lin, eta,
+             X32, best, seed_cls) = st
+            rem = changed & (steps < newton_steps)
+            Q_aug, pin, A2, A2t, Dtail, r1_f, r2_f = assemble(
+                ctx, low, up, surf, apex, lam_lin, eta
             )
-            Mb = _assemble_m2_masked(Q_aug.hi, pin, A2.hi, Dtail)
-            X32 = _refresh_changed(X32, changed_i, Mb)
-            x, y, raw = _solve_structured_masked(
-                X32, Q_aug, pin, A2, A2t, Dtail, r1_b, r2_b
+            Mb_f = _assemble_m2_masked(Q_aug.hi, pin, A2.hi, Dtail)
+            # full-batch refresh: unchanged instances' rows are
+            # identical, their refresh contracts trivially
+            X32 = _seed_refresh_or_rebuild(X32, Mb_f, 2)
+            fx, fy, raw = _solve_structured_masked(
+                X32, Q_aug, pin, A2, A2t, Dtail, r1_f, r2_f
             )
-            mu_new = reconstruct_duals(x, y, raw, low, up, surf, apex)
-            used_cls = pack_classification(low, up, surf, apex)
-            s_new, x_res, lam_res, _eq_res, score = accept_eval(
-                x, mu_new
+            fmu = reconstruct_duals(
+                ctx, fx, fy, raw, low, up, surf, apex
+            )
+            f_cls = pack_classification(low, up, surf, apex)
+            f_snew, f_xr, f_lr, _er, f_score = accept_eval(
+                ctx, fx, fmu
             )
             (bx, bmu, bs, bcls, bxr, blr, bscore) = best
-            better = score < bscore
+            better = rem & (f_score < bscore)
             bN = better[None, :]
-
-            def sel_ds(new: DS, old: DS) -> DS:
-                return ds.where(bN, new, old)
-
             best = (
-                sel_ds(x, bx),
-                sel_ds(mu_new, bmu),
-                sel_ds(s_new, bs),
-                jnp.where(bN, used_cls, bcls),
-                jnp.where(better, x_res, bxr),
-                jnp.where(better, lam_res, blr),
-                jnp.minimum(score, bscore),
+                ds.where(bN, fx, bx),
+                ds.where(bN, fmu, bmu),
+                ds.where(bN, f_snew, bs),
+                jnp.where(bN, f_cls, bcls),
+                jnp.where(better, f_xr, bxr),
+                jnp.where(better, f_lr, blr),
+                jnp.where(better, f_score, bscore),
             )
             nlow, nup, nsurf, napex, nlam, neta = next_classification(
-                x, y, mu_new
+                ctx, fx, fy, fmu, lam_lin, eta
             )
-            changed_i = changed_per_instance(
-                low, up, surf, apex, lam_lin, nlow, nup, nsurf, napex,
-                nlam,
-            ) & (score > 1.0)
-            return (it + 1, changed_i, nlow, nup, nsurf, napex, nlam,
-                    neta, X32, x, y, mu_new, best, used_cls)
+            changed_n = changed_per_instance(
+                ctx, low, up, surf, apex, lam_lin,
+                nlow, nup, nsurf, napex, nlam,
+            ) & (f_score > 1.0)
+            remN = rem[None, :]
+            low = jnp.where(remN, nlow, low)
+            up = jnp.where(remN, nup, up)
+            surf = jnp.where(remN, nsurf, surf)
+            apex = jnp.where(remN, napex, apex)
+            if nc:
+                rem3 = rem[None, None, :]
+                lam_lin = DS(
+                    jnp.where(rem3, nlam.hi, lam_lin.hi),
+                    jnp.where(rem3, nlam.lo, lam_lin.lo),
+                )
+                eta = jnp.where(remN, neta, eta)
+            seed_cls = jnp.where(remN, f_cls, seed_cls)
+            steps = steps + rem.astype(jnp.int32)
+            changed = jnp.where(rem, changed_n, changed)
+            return (changed, steps, low, up, surf, apex, lam_lin, eta,
+                    X32, best, seed_cls)
 
-        (_, _, low, up, surf, apex, lam_lin, eta, X32,
-         x, y, mu_new, best, used_cls) = jax.lax.while_loop(
-            cond, body,
-            (jnp.int32(1), changed_i, nlow, nup, nsurf, napex, nlam,
-             neta, X32, x, y, mu_new, best, used_cls),
-        )
+        # full-batch step 2 only when the pool is larger than the
+        # gather capacity (cold solves re-classify ~everyone once);
+        # smaller pools go straight to the gathered loop
+        pool0 = jnp.sum((changed_i & (steps_i < newton_steps))
+                        .astype(jnp.int32))
+        carry0 = jax.lax.cond(pool0 > C2, full_pass,
+                              lambda st: st, carry0)
+
+        def body(st):
+            (changed, steps, low, up, surf, apex, lam_lin, eta,
+             X32, best, seed_cls) = st
+            rem = changed & (steps < newton_steps)
+            idx = jnp.argsort(-rem.astype(f32), stable=True)[:C2]
+            sel = rem[idx]                               # (C2,)
+            c = _gather_ctx(ctx, idx)
+
+            gb = lambda a: a[..., idx]                   # bool/float masks
+
+            def gd(a: DS) -> DS:
+                return DS(a.hi[..., idx], a.lo[..., idx])
+
+            s_low, s_up = gb(low), gb(up)
+            s_surf, s_apex = gb(surf), gb(apex)
+            s_lam = gd(lam_lin) if nc else lam_lin
+            s_eta = gb(eta) if nc else eta
+            sX = X32[idx]
+
+            # one PDAS step on the sub-batch
+            Q_aug, pin, A2, A2t, Dtail, r1_s, r2_s = assemble(
+                c, s_low, s_up, s_surf, s_apex, s_lam, s_eta
+            )
+            Mb_s = _assemble_m2_masked(Q_aug.hi, pin, A2.hi, Dtail)
+            sX = _seed_refresh_or_rebuild(sX, Mb_s, 2)
+            sx, sy, raw = _solve_structured_masked(
+                sX, Q_aug, pin, A2, A2t, Dtail, r1_s, r2_s
+            )
+            smu = reconstruct_duals(
+                c, sx, sy, raw, s_low, s_up, s_surf, s_apex
+            )
+            s_cls = pack_classification(s_low, s_up, s_surf, s_apex)
+            s_snew, s_xr, s_lr, _s_er, s_score = accept_eval(c, sx, smu)
+
+            # best update on the gathered slots
+            (bx, bmu, bs, bcls, bxr, blr, bscore) = best
+            better = sel & (s_score < bscore[idx])
+            bN = better[None, :]
+
+            def upd_ds(full: DS, sub: DS) -> DS:
+                hi = full.hi.at[..., idx].set(
+                    jnp.where(bN, sub.hi, full.hi[..., idx])
+                )
+                lo = full.lo.at[..., idx].set(
+                    jnp.where(bN, sub.lo, full.lo[..., idx])
+                )
+                return DS(hi, lo)
+
+            best = (
+                upd_ds(bx, sx),
+                upd_ds(bmu, smu),
+                upd_ds(bs, s_snew),
+                bcls.at[..., idx].set(
+                    jnp.where(bN, s_cls, bcls[..., idx])
+                ),
+                bxr.at[idx].set(jnp.where(better, s_xr, bxr[idx])),
+                blr.at[idx].set(jnp.where(better, s_lr, blr[idx])),
+                bscore.at[idx].set(
+                    jnp.minimum(jnp.where(sel, s_score, jnp.inf),
+                                bscore[idx])
+                ),
+            )
+
+            nlow_s, nup_s, nsurf_s, napex_s, nlam_s, neta_s = (
+                next_classification(c, sx, sy, smu, s_lam, s_eta)
+            )
+            changed_s = changed_per_instance(
+                c, s_low, s_up, s_surf, s_apex, s_lam,
+                nlow_s, nup_s, nsurf_s, napex_s, nlam_s,
+            ) & (s_score > 1.0)
+
+            # scatter the advanced classification/seed state back
+            def sc2(full, sub):
+                m_ = sel.reshape((1,) * (full.ndim - 1) + (-1,))
+                return full.at[..., idx].set(
+                    jnp.where(m_, sub, full[..., idx])
+                )
+
+            def sc2d(full: DS, sub: DS) -> DS:
+                return DS(sc2(full.hi, sub.hi), sc2(full.lo, sub.lo))
+
+            low, up = sc2(low, nlow_s), sc2(up, nup_s)
+            surf, apex = sc2(surf, nsurf_s), sc2(apex, napex_s)
+            if nc:
+                lam_lin = sc2d(lam_lin, nlam_s)
+                eta = sc2(eta, neta_s)
+            X32 = X32.at[idx].set(
+                jnp.where(sel[:, None, None], sX, X32[idx])
+            )
+            seed_cls = sc2(seed_cls, s_cls)
+            steps = steps.at[idx].add(sel.astype(jnp.int32))
+            changed = changed.at[idx].set(
+                jnp.where(sel, changed_s, changed[idx])
+            )
+            return (changed, steps, low, up, surf, apex, lam_lin, eta,
+                    X32, best, seed_cls)
+
+        (_, _, low, up, surf, apex, lam_lin, eta,
+         X32, best, used_cls) = jax.lax.while_loop(cond, body, carry0)
 
     # --- self-validating acceptance of the per-instance BEST iterate:
     # its residuals were evaluated by the same projection-consistency +
