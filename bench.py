@@ -35,9 +35,12 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=4096,
                    help="cold-batch size (also the stream count)")
-    p.add_argument("--steps", type=int, default=8,
+    p.add_argument("--steps", type=int, default=16,
                    help="warm-started steps per stream; replay log is "
-                        "batch*steps solves")
+                        "batch*steps solves (the reference replays "
+                        "multi-thousand-step control logs, so longer "
+                        "windows are the faithful setting; 16 keeps log "
+                        "generation tractable)")
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--max-iter", type=int, default=3000)
     p.add_argument("--rho", type=float, default=0.05)

@@ -119,6 +119,18 @@ def main():
 
     print(f"iters: p50={np.median(iters):.0f} max={np.max(iters)}  "
           f"viol max: cone={np.max(fviol):.2e} bounds={np.max(bviol):.2e}")
+    if args.mode == "loop":
+        warm_t = times[1:] if len(times) > 1 else times
+        print(
+            f"per-solve latency: cold={times[0]*1e3:.1f}ms "
+            f"warm p50={np.median(warm_t)*1e3:.1f}ms "
+            f"min={np.min(warm_t)*1e3:.1f}ms "
+            f"(reference ~0.1 ms/solve on the robot CPU, fccqp.pdf "
+            f"p.5 Fig. 1; the TPU drop-in single-solve floor is the "
+            f"~25-50 ms per-call dispatch+fetch round-trip through "
+            f"the remote tunnel — single-QP serving is a CPU "
+            f"workload, the TPU wins at batch/stream scale)"
+        )
 
     make_plots(z, times, iters, np.asarray(fviol), np.asarray(bviol),
                args.out)

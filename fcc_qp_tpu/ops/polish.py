@@ -416,21 +416,28 @@ def _polish_seed_f32(Mb: Array, ns_iters: int = 48) -> Array:
     X = jnp.swapaxes(Mb, -1, -2) / jnp.maximum(fro2, 1e-30)[:, None, None]
     eye2 = 2.0 * jnp.eye(N2, dtype=f32)
 
-    # every pass at HIGHEST (true-f32) matmul precision. A "cheap
-    # phase" at DEFAULT precision is a trap on TPU: DEFAULT is a
-    # single bf16 MXU pass, and for the kappa ~ 1e3 of Ruiz-
-    # equilibrated OSC KKTs Newton-Schulz under bf16 roundoff
-    # (kappa * eps_bf16 > 1) does not contract AT ALL — the long
-    # approach phase then does nothing and the few HIGHEST steps
-    # can't recover from the Frobenius seed, leaving a ~O(1)-residual
+    # Mixed precision, chosen against the TPU MXU precision ladder:
+    # the approach phase runs at HIGH (3-pass bf16, eps ~ 2e-6:
+    # kappa * eps ~ 2e-3 < 1 for Ruiz-equilibrated OSC KKTs, so NS
+    # still contracts) and the final quadratic steps at HIGHEST
+    # (6-pass, the f32 floor). DEFAULT (single bf16 pass, eps ~ 4e-3)
+    # is a trap: kappa * eps > 1 and NS does not contract AT ALL —
+    # the approach phase then does nothing and the few HIGHEST steps
+    # can't recover from the Frobenius seed, leaving an O(1)-residual
     # inverse that silently destroys every downstream polish solve
     # (measured on v5e: polish acceptance 15% vs 100% on CPU, where
-    # DEFAULT is true f32). All-HIGHEST costs ~2 ms per (4096, 102,
-    # 102) build on v5e — cold-path only; replay refreshes instead.
+    # DEFAULT is true f32).
+    mm_hi = lambda a, b: jnp.matmul(a, b, precision="high")
+    tail = min(6, ns_iters)
+
+    def body_hi(_, X):
+        return mm_hi(X, eye2 - mm_hi(Mb, X))
+
     def body(_, X):
         return mm(X, eye2 - mm(Mb, X))
 
-    X = jax.lax.fori_loop(0, ns_iters, body, X)
+    X = jax.lax.fori_loop(0, ns_iters - tail, body_hi, X)
+    X = jax.lax.fori_loop(0, tail, body, X)
 
     if os.environ.get("FCCQP_POLISH_DEBUG"):
         R = jnp.eye(N2, dtype=f32) - mm(Mb, X)
