@@ -34,7 +34,13 @@ def log(*a):
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=4096,
-                   help="cold-batch size (also the stream count)")
+                   help="replay stream count")
+    p.add_argument("--cold-batch", type=int, default=None,
+                   help="cold-batch size (default: 8192 for the full "
+                        "bench, --batch for --no-replay runs); "
+                        "fleet-cold throughput is amortization-bound, "
+                        "so it benefits from a bigger batch than the "
+                        "replay streams")
     p.add_argument("--steps", type=int, default=16,
                    help="warm-started steps per stream; replay log is "
                         "batch*steps solves (the reference replays "
@@ -140,7 +146,16 @@ def main():
 
     # --- data: synthetic walking log (reference dims for cassie:
     # 60/38/12/38, missing npz regenerated; cached on disk) ---
-    T = args.batch * args.steps if args.replay else args.batch
+    cold_b = (
+        args.cold_batch
+        if args.cold_batch is not None
+        else (max(8192, args.batch) if args.replay else args.batch)
+    )
+    T = (
+        max(args.batch * args.steps, cold_b)
+        if args.replay
+        else cold_b
+    )
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "test_data")
     os.makedirs(cache_dir, exist_ok=True)
     sm = f"_s{args.smoothness:g}" if args.smoothness != 0.002 else ""
@@ -159,7 +174,7 @@ def main():
         save_qp_log_packed(cache, qps)
         log(f"generated log in {time.perf_counter()-t0:.1f}s -> {cache}")
 
-    cold_stacked = {k: v[: args.batch] for k, v in stacked.items()}
+    cold_stacked = {k: v[:cold_b] for k, v in stacked.items()}
     if args.engine == "ds":
         batch = jax.device_put(to_ds_batch(cold_stacked))
     else:
@@ -176,7 +191,8 @@ def main():
         polish_rounds=args.polish_rounds,
         polish_newton_steps=args.polish_newton_steps,
     )
-    use_pallas = args.pallas and args.engine == "ds" and args.batch % 128 == 0
+    use_pallas = (args.pallas and args.engine == "ds"
+                  and args.batch % 128 == 0 and cold_b % 128 == 0)
 
     def run_cold(b):
         if args.engine == "ds":
@@ -202,7 +218,7 @@ def main():
         sync(sol)
         times.append(time.perf_counter() - t0)
     t_cold = min(times)
-    cold_rate = args.batch / t_cold
+    cold_rate = cold_b / t_cold
 
     # pipelined dispatch: several cold solves dispatched back-to-back,
     # one sync — amortizes the per-call dispatch/fetch round-trip
@@ -214,13 +230,13 @@ def main():
     for s_ in sols:
         sync(s_)
     t_pipe = (time.perf_counter() - t0) / depth
-    pipe_rate = args.batch / t_pipe
+    pipe_rate = cold_b / t_pipe
 
     n_iter = np.asarray(sol.details.n_iter)
     status = np.asarray(sol.details.solve_status)
     conv = (status == 0).mean()
     log(
-        f"cold: B={args.batch} best={t_cold*1e3:.1f}ms "
+        f"cold: B={cold_b} best={t_cold*1e3:.1f}ms "
         f"({cold_rate:.0f}/s; pipelined depth={depth}: {pipe_rate:.0f}/s) "
         f"iters mean={n_iter.mean():.0f} p50={np.median(n_iter):.0f} "
         f"max={n_iter.max()} converged={conv*100:.1f}% "
@@ -254,7 +270,10 @@ def main():
     # --- headline: warm-started multi-stream replay (BASELINE config 2,
     # the reference benchmark loop semantics: fcc_qp_test.py:85-89) ---
     if args.replay and args.engine == "ds":
-        reps = jax.device_put(to_ds_batch(stacked))
+        T = args.batch * args.steps
+        reps = jax.device_put(to_ds_batch(
+            {k: v[:T] for k, v in stacked.items()}
+        ))
         t0 = time.perf_counter()
         sols, _ = replay_ds_streams(
             reps, shape, opts, n_streams=args.batch, use_pallas=use_pallas

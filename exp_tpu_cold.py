@@ -20,7 +20,7 @@ from fcc_qp_tpu.utils.io import stack_qp_dicts
 
 print("device:", jax.devices()[0])
 bds = jax.device_put(
-    to_ds_batch(stack_qp_dicts(generate_osc_batch(CASSIE, 128, seed=0)))
+    to_ds_batch(stack_qp_dicts(generate_osc_batch(CASSIE, 1024, seed=0)))
 )
 opts = FCCQPOptions(
     max_iter=2000, rho=0.05, eps_fcone=1e-6, eps_bound=1e-6,
@@ -29,13 +29,28 @@ opts = FCCQPOptions(
 )
 
 configs = [
-    ("lazy", opts),
-    ("nolazy", opts.replace(lazy_exact=False)),
-    ("dsfactor", opts.replace(kkt_factor="ds")),
+    ("flagship", opts),
+    ("nopolish", opts.replace(polish=False, phase1_tol=1e-2)),
+    ("rounds1", opts.replace(polish_rounds=1)),
 ]
+import time
+from fcc_qp_tpu.utils.timing import sync
 for name, o in configs:
     sol, _ = solve_batched_ds(
-        bds, CASSIE.shape, o, use_pallas=False, timing=False
+        bds, CASSIE.shape, o, use_pallas=True, timing=False
+    )
+    sync(sol.details.n_iter)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        sol, _ = solve_batched_ds(
+            bds, CASSIE.shape, o, use_pallas=True, timing=False
+        )
+        sync(sol.details.n_iter)
+        ts.append(time.perf_counter() - t0)
+    print(f"[{name}] time={min(ts)*1e3:.1f}ms")
+    sol, _ = solve_batched_ds(
+        bds, CASSIE.shape, o, use_pallas=True, timing=False
     )
     d = sol.details
     st = np.asarray(d.solve_status)

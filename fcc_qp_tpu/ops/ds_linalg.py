@@ -723,15 +723,26 @@ def spd_inverse_ns_f32(H: Array, iters: int = 30) -> Array:
     f32 = H.dtype
     hi_p = jax.lax.Precision.HIGHEST
     mm = lambda a, b: jnp.matmul(a, b, precision=hi_p)
+    mm_h = lambda a, b: jnp.matmul(a, b, precision="high")
     fro2 = jnp.sum(H * H, axis=(-1, -2))                      # (B,)
     alpha = 1.0 / jnp.maximum(fro2, 1e-30)
     X = jnp.swapaxes(H, -1, -2) * alpha[:, None, None]
     eye2 = 2.0 * jnp.eye(n, dtype=f32)
 
+    # approach phase at HIGH (3-pass bf16, eps ~2e-6 — still
+    # contracting for the equilibrated kappa here), HIGHEST tail to
+    # reach the f32 floor; see ops/polish._polish_seed_f32 for the
+    # precision-ladder rationale (DEFAULT would not contract at all)
+    tail = min(6, iters)
+
+    def body_h(_, X):
+        return mm_h(X, eye2 - mm_h(H, X))
+
     def body(_, X):
         return mm(X, eye2 - mm(H, X))
 
-    return jax.lax.fori_loop(0, iters, body, X)
+    X = jax.lax.fori_loop(0, iters - tail, body_h, X)
+    return jax.lax.fori_loop(0, tail, body, X)
 
 
 def kkt_inverse_f32_seed(Q: DS, A: DS, rho: Array, delta: float = 1e-2):

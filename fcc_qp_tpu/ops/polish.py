@@ -384,7 +384,7 @@ def _seed_refresh_or_rebuild(seed: Array, Mb: Array, steps: int) -> Array:
     return jax.lax.cond(jnp.any(bad), rebuild_all, lambda x: x, X)
 
 
-def _polish_seed_f32(Mb: Array, ns_iters: int = 48) -> Array:
+def _polish_seed_f32(Mb: Array, ns_iters: int = 40) -> Array:
     """f32 MXU inverse seed of ``M2 = [[Q, A2'],[A2, -D]]`` (batch-last
     hi words in, batch-leading (B, N2, N2) seed out).
 
