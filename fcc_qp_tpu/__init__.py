@@ -31,11 +31,13 @@ from fcc_qp_tpu.core.solver import (
 )
 from fcc_qp_tpu.core.batched import solve_batched_fast
 from fcc_qp_tpu.core.api import FCCQP
+from fcc_qp_tpu.core.serving import FCCQPServer
 
 __version__ = "0.1.0"
 
 __all__ = [
     "FCCQP",
+    "FCCQPServer",
     "FCCQPDetails",
     "FCCQPOptions",
     "FCCQPSolution",

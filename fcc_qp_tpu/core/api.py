@@ -32,7 +32,7 @@ from fcc_qp_tpu.types import FCCQPDetails, FCCQPSolution, QPBatch, WarmStart
 
 
 _solve_jit = jax.jit(solve, static_argnames=("shape", "opts", "warm_start"))
-_admm_operator_jit = jax.jit(admm_operator, static_argnames=("num_vars",))
+_admm_operator_jit = jax.jit(admm_operator)
 
 
 def default_dtype():
@@ -156,9 +156,7 @@ class FCCQP:
         # operator-build span within it.
         rho = jnp.asarray(self._options.rho, dt)
         t0 = time.perf_counter()
-        operator = _admm_operator_jit(
-            qp.Q, qp.b, qp.A_eq, qp.b_eq, rho, num_vars=self.shape.num_vars
-        )
+        operator = _admm_operator_jit(qp.Q, qp.b, qp.A_eq, qp.b_eq, rho)
         sol, new_warm = _solve_jit(
             qp,
             shape=self.shape,

@@ -1848,7 +1848,7 @@ def _iterate_reduced(
 
         def build_exact(blocks):
             def one_pass(carry):
-                (Fcc, xc_const, Fcolj, x_const), rem = carry
+                (Fcc, xc_const, Fcolj, x_const), rem, n_pass = carry
                 idx = jnp.argsort(-rem.astype(f32), stable=True)[:C3]
                 sub = QPBatchDS(
                     Q=_gl(qps.Q, idx), b=_gl(qps.b, idx),
@@ -1873,11 +1873,34 @@ def _iterate_reduced(
 
                 out = (scat(Fcc, Fcc_s), scat(xc_const, xc_s),
                        scat(Fcolj, Fcol_s), scat(x_const, x0_s))
-                return out, rem.at[idx].set(False)
+                return out, rem.at[idx].set(False), n_pass + 1
 
-            out, _ = jax.lax.while_loop(
-                lambda c: jnp.any(c[1]), one_pass, (blocks, need)
+            out, _, n_pass = jax.lax.while_loop(
+                lambda c: jnp.any(c[1]), one_pass,
+                (blocks, need, jnp.int32(0)),
             )
+            # observability for pathological steps (a batch-wide bad
+            # set — e.g. a data jump hitting every stream at once —
+            # runs ceil(need/C3) sequential heavy passes inside this
+            # one jitted step; at B=4096, C3=128 that is a multi-
+            # second stall that would otherwise be silent). Opt-in
+            # (env var, trace-time gate): jax.debug.print is a host
+            # callback, which remote-attached runtimes (axon_pjrt)
+            # cannot execute at all.
+            if os.environ.get("FCCQP_BUILD_DEBUG"):
+                jax.lax.cond(
+                    n_pass > 1,
+                    lambda n: jax.debug.print(
+                        "fccqp: lazy-exact operator build took {n} "
+                        "sequential gathered passes (need>{c} "
+                        "instances); a persistent pattern here means "
+                        "the warm stream has frequent data jumps — "
+                        "prefer cold solves for those steps",
+                        n=n, c=C3,
+                    ),
+                    lambda n: None,
+                    n_pass,
+                )
             return out
 
         Fcc_e, xc_e, Fcol_e, x0_e = jax.lax.cond(

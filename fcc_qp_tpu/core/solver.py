@@ -86,7 +86,7 @@ def _admm(
     # time the factorization phase (FCCQP.Solve) pass the operator in so
     # it is built exactly once.
     if operator is None:
-        F, x_const = admm_operator(qp.Q, qp.b, qp.A_eq, qp.b_eq, rho, nv)
+        F, x_const = admm_operator(qp.Q, qp.b, qp.A_eq, qp.b_eq, rho)
     else:
         F, x_const = operator
 
@@ -298,10 +298,10 @@ def _solve_batched_jit(qp, shape, opts, warm, warm_start, operator=None):
     )
 
 
-@partial(jax.jit, static_argnames=("num_vars",))
-def _operator_batched_jit(Q, b, A_eq, b_eq, rho, num_vars):
+@jax.jit
+def _operator_batched_jit(Q, b, A_eq, b_eq, rho):
     return jax.vmap(
-        lambda q_, b_, a_, e_: admm_operator(q_, b_, a_, e_, rho, num_vars)
+        lambda q_, b_, a_, e_: admm_operator(q_, b_, a_, e_, rho)
     )(Q, b, A_eq, b_eq)
 
 
@@ -337,9 +337,7 @@ def solve_batched(
 
     rho = jnp.asarray(opts.rho, dtype)
     t0 = time.perf_counter()
-    operator = _operator_batched_jit(
-        qp.Q, qp.b, qp.A_eq, qp.b_eq, rho, num_vars=shape.num_vars
-    )
+    operator = _operator_batched_jit(qp.Q, qp.b, qp.A_eq, qp.b_eq, rho)
     sol, ws = _solve_batched_jit(
         qp, shape, opts, warm, warm_start, operator
     )

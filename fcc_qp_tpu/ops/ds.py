@@ -121,7 +121,14 @@ def from_f64(a) -> DS:
 
 
 def to_f64(x: DS):
-    return x.hi.astype(jnp.float64) + x.lo.astype(jnp.float64)
+    if jax.config.jax_enable_x64:
+        return x.hi.astype(jnp.float64) + x.lo.astype(jnp.float64)
+    # Without x64 there is no wider dtype to reconstruct into; the
+    # normalized pair's hi word already IS the correctly-rounded f32
+    # value (|lo| <= ulp(hi)/2). Summing in f32 avoids the noisy
+    # "float64 truncated to float32" UserWarning an astype would emit
+    # (previously the first thing in every TPU bench artifact tail).
+    return x.hi + x.lo
 
 
 def renorm(hi: Array, lo: Array) -> DS:

@@ -224,6 +224,16 @@ def _ds_tree_sum0(p: DS) -> DS:
     return DS(p.hi[0], p.lo[0])
 
 
+# Largest transient (n_j, n_i, B) f32 tile matvec_ds will materialize
+# at once (elements PER ARRAY; the EFT pass holds ~4 such arrays). 64M
+# elements = 256 MB/array, ~1 GB of transients — comfortably inside v5e
+# HBM while the flagship shapes (98*98*4096 ~ 39M) stay on the single-
+# pass fast path. Bigger contractions are chunked along the contraction
+# axis so the working set stays bounded (an (129,129,8192) humanoid
+# batch would otherwise claim >2 GB of fused transients).
+_MATVEC_TILE_ELEMS = 64 * 1024 * 1024
+
+
 def matvec_ds(F: DS, v: DS) -> DS:
     """ds mat-vec: F (n_j, n_i, B) j-major, v (n_j, B) -> (n_i, B).
 
@@ -232,11 +242,29 @@ def matvec_ds(F: DS, v: DS) -> DS:
     contraction axis (`_ds_tree_sum0`). The transient product tensor is
     n_j * n_i * B * 4 floats — ~300 MB for the largest (98, 98, 4096)
     KKT residual mat-vecs, well within HBM, and XLA fuses the multiply
-    into the first reduction level.
+    into the first reduction level. Contractions whose tile exceeds
+    `_MATVEC_TILE_ELEMS` are chunked along the contraction axis
+    (static shapes, so the chunking unrolls at trace time) and the
+    partial sums combined with `ds.add` — same error class, bounded
+    working set.
     """
-    return _ds_tree_sum0(
-        ds.mul(F, DS(v.hi[:, None, :], v.lo[:, None, :]))
-    )
+    n_j, n_i, B = F.hi.shape
+    if n_j * n_i * B <= _MATVEC_TILE_ELEMS:
+        return _ds_tree_sum0(
+            ds.mul(F, DS(v.hi[:, None, :], v.lo[:, None, :]))
+        )
+    chunk = max(1, _MATVEC_TILE_ELEMS // (n_i * B))
+    acc = None
+    for s in range(0, n_j, chunk):
+        e = min(n_j, s + chunk)
+        part = _ds_tree_sum0(
+            ds.mul(
+                DS(F.hi[s:e], F.lo[s:e]),
+                DS(v.hi[s:e, None, :], v.lo[s:e, None, :]),
+            )
+        )
+        acc = part if acc is None else ds.add(acc, part)
+    return acc
 
 
 def transpose_ds(X: DS) -> DS:

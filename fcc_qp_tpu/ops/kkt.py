@@ -58,9 +58,7 @@ def assemble_kkt(Q: Array, A_eq: Array, rho) -> Array:
     return jnp.concatenate([top, bot], axis=-2)
 
 
-def _chol_or_regularized(
-    M: Array, delta: float | None = None, return_shifted: bool = False
-):
+def _chol_or_regularized(M: Array, return_shifted: bool = False):
     """Cholesky factor of M, escalating Tikhonov shifts until it exists.
 
     The TPU analog of the reference's LDLT -> COD retry
@@ -70,7 +68,6 @@ def _chol_or_regularized(
     one factorization, and retries are data-dependent (masked per
     instance so it vmaps correctly).
     """
-    del delta  # legacy arg; shifts are dtype-derived
     n = M.shape[-1]
     eps = jnp.finfo(M.dtype).eps
     scale = jnp.maximum(jnp.max(jnp.abs(M)), 1.0)
@@ -112,9 +109,7 @@ def _chol_or_regularized(
     return L
 
 
-def kkt_factor_blocks(
-    Q: Array, A_eq: Array, rho, delta: float = 1e-11
-) -> tuple[Array, Array]:
+def kkt_factor_blocks(Q: Array, A_eq: Array, rho) -> tuple[Array, Array]:
     """Schur-complement factorization of the KKT matrix.
 
     Returns the explicit inverse blocks ``(F, G)`` with
@@ -125,12 +120,12 @@ def kkt_factor_blocks(
     m = A_eq.shape[-2]
     dtype = Q.dtype
     H = Q + rho * jnp.eye(n, dtype=dtype)
-    L_H, sh_H = _chol_or_regularized(H, delta, return_shifted=True)
+    L_H, sh_H = _chol_or_regularized(H, return_shifted=True)
     At = jnp.swapaxes(A_eq, -1, -2)
     # W = H^{-1} A^T  and  Hinv = H^{-1}
     W = cho_solve((L_H, True), At)
     S = A_eq @ W
-    L_S, sh_S = _chol_or_regularized(S, delta, return_shifted=True)
+    L_S, sh_S = _chol_or_regularized(S, return_shifted=True)
     # T = S^{-1} W^T  (ne x nv)
     T = cho_solve((L_S, True), jnp.swapaxes(W, -1, -2))
     Hinv = cho_solve((L_H, True), jnp.eye(n, dtype=dtype))
@@ -162,9 +157,7 @@ def kkt_factor_blocks(
     )
 
 
-def kkt_solve(
-    Q: Array, A_eq: Array, rho, r: Array, s: Array, delta: float = 1e-11
-) -> Array:
+def kkt_solve(Q: Array, A_eq: Array, rho, r: Array, s: Array) -> Array:
     """Solve ``[[Q+rho*I, A'],[A, 0]] [x; y] = [r; s]`` for ``x`` only.
 
     Single-RHS Schur solve used by the presolve
@@ -173,11 +166,11 @@ def kkt_solve(
     n = Q.shape[-1]
     dtype = Q.dtype
     H = Q + rho * jnp.eye(n, dtype=dtype)
-    L_H, sh_H = _chol_or_regularized(H, delta, return_shifted=True)
+    L_H, sh_H = _chol_or_regularized(H, return_shifted=True)
     At = jnp.swapaxes(A_eq, -1, -2)
     W = cho_solve((L_H, True), At)
     S = A_eq @ W
-    L_S, sh_S = _chol_or_regularized(S, delta, return_shifted=True)
+    L_S, sh_S = _chol_or_regularized(S, return_shifted=True)
 
     mv = lambda M_, v_: jnp.einsum("...ij,...j->...i", M_, v_)
 
@@ -207,7 +200,7 @@ def kkt_solve(
 
 
 def admm_operator(
-    Q: Array, b: Array, A_eq: Array, b_eq: Array, rho, num_vars: int
+    Q: Array, b: Array, A_eq: Array, b_eq: Array, rho
 ) -> tuple[Array, Array]:
     """Precompute the per-solve ADMM primal-update operator.
 
@@ -219,7 +212,6 @@ def admm_operator(
     because the KKT RHS is ``[-b + rho*v ; b_eq]`` and only its first
     block varies across iterations.
     """
-    del num_vars  # shape is implied by Q; kept for API stability
     F, G = kkt_factor_blocks(Q, A_eq, rho)
     x_const = -jnp.einsum("...ij,...j->...i", F, b) + jnp.einsum(
         "...ij,...j->...i", G, b_eq

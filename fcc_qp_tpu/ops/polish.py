@@ -895,6 +895,29 @@ def polish_reduced(
         C2 = min(B, max(128, B // 8))
         steps_i = jnp.ones((B,), jnp.int32)
 
+        # commit the post-solve-1 re-classification into the carried
+        # state for still-changing instances BEFORE entering the
+        # continuation — mirroring the end-of-pass update inside
+        # full_pass/body. Without this the first continuation pass
+        # re-assembles and re-solves the identical system as solve 1,
+        # discarding the re-linearization and burning one newton step
+        # (at newton_steps=2 the continuation would never apply a
+        # re-classified solve at all). `used_cls` stays at the OLD
+        # classification — the carried X32 seed still corresponds to
+        # it; the loop's seed refresh handles the row flips.
+        chN = changed_i[None, :]
+        low = jnp.where(chN, nlow, low)
+        up = jnp.where(chN, nup, up)
+        surf = jnp.where(chN, nsurf, surf)
+        apex = jnp.where(chN, napex, apex)
+        if nc:
+            ch3 = changed_i[None, None, :]
+            lam_lin = DS(
+                jnp.where(ch3, nlam.hi, lam_lin.hi),
+                jnp.where(ch3, nlam.lo, lam_lin.lo),
+            )
+            eta = jnp.where(chN, neta, eta)
+
         carry0 = (
             changed_i, steps_i,
             low, up, surf, apex, lam_lin, eta,

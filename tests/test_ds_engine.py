@@ -9,7 +9,7 @@ from fcc_qp_tpu.core.ds_engine import (
     solve_batched_ds,
     to_ds_batch,
 )
-from fcc_qp_tpu.models.osc import CASSIE, QUADRUPED, generate_osc_sequence
+from fcc_qp_tpu.models.osc import CASSIE, generate_osc_sequence
 from fcc_qp_tpu.utils.io import stack_qp_dicts, to_qpbatch
 
 OPTS = FCCQPOptions(max_iter=300, rho=1.0, eps_fcone=1e-6, eps_bound=1e-6)
@@ -29,10 +29,12 @@ class TestDsEngine:
         got, _ = solve_batched_ds(bds, CASSIE.shape, OPTS)
         nr = np.asarray(ref.details.n_iter)
         ng = np.asarray(got.details.n_iter)
-        # trajectories may fork near active-set boundaries; require most
-        # instances to match exactly and none to drift far
-        assert (nr == ng).mean() >= 0.75
-        assert np.max(np.abs(nr.astype(int) - ng.astype(int))) <= 20
+        # demonstrated behavior (r5): EXACT iteration-count agreement —
+        # ds resolves every active-set boundary this batch crosses the
+        # same way f64 does. A fork here is a real precision change;
+        # investigate rather than loosen (the old 75% bar let a round-3
+        # regression hide).
+        np.testing.assert_array_equal(ng, nr)
         conv = nr < OPTS.max_iter
         if conv.any():
             # converged solutions agree at the residual-tolerance level
@@ -75,13 +77,11 @@ class TestDsEngine:
         assert float(np.max(np.asarray(sol.details.bounds_viol))) < 1e-4
         assert float(np.max(np.asarray(sol.details.friction_cone_viol))) < 1e-4
 
-    def test_quadruped_shape(self):
-        qps = generate_osc_sequence(QUADRUPED, 4, seed=2)
-        stacked = stack_qp_dicts(qps)
-        bds = to_ds_batch(stacked)
-        opts = OPTS.replace(max_iter=1500, adaptive_rho=True)
-        sol, _ = solve_batched_ds(bds, QUADRUPED.shape, opts)
-        assert (np.asarray(sol.details.solve_status) == 0).mean() >= 0.75
+    # NB: the quadruped/humanoid FLAGSHIP-config convergence tests live
+    # in tests/test_models_flagship.py — each robot shape compiles its
+    # own large programs, and one process holding this file's programs
+    # PLUS two more shapes segfaults XLA:CPU (the run_tests.py
+    # isolation rationale, reproduced r5).
 
 
 FAST_OPTS = FCCQPOptions(
