@@ -69,8 +69,10 @@ def parse_args(argv=None):
     p.add_argument("--polish-rounds", type=int, default=4,
                    help="PDAS polish attempts per solve (retries after "
                         "short re-classification chunks)")
-    p.add_argument("--polish-newton-steps", type=int, default=4,
-                   help="PDAS/SQP re-classification steps per attempt")
+    p.add_argument("--polish-newton-steps", type=int, default=None,
+                   help="PDAS/SQP re-classification steps per attempt "
+                        "(default: the model's recommended depth — 4 "
+                        "for cassie/humanoid, 6 for quadruped)")
     p.add_argument("--splitting", choices=["constrained", "full"],
                    default="constrained")
     p.add_argument("--no-pallas", dest="pallas", action="store_false",
@@ -181,6 +183,11 @@ def main():
         dtype = jnp.float64 if args.engine == "f64" else jnp.float32
         batch = jax.device_put(to_qpbatch(cold_stacked, dtype=dtype))
 
+    newton_steps = (
+        args.polish_newton_steps
+        if args.polish_newton_steps is not None
+        else model.polish_newton_steps
+    )
     opts = FCCQPOptions(
         max_iter=args.max_iter, rho=args.rho,
         eps_fcone=args.eps, eps_bound=args.eps,
@@ -189,7 +196,7 @@ def main():
         scaling=args.scaling, splitting=args.splitting,
         kkt_refine_steps=1, polish=args.polish,
         polish_rounds=args.polish_rounds,
-        polish_newton_steps=args.polish_newton_steps,
+        polish_newton_steps=newton_steps,
     )
     use_pallas = (args.pallas and args.engine == "ds"
                   and args.batch % 128 == 0 and cold_b % 128 == 0)

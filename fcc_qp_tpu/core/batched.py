@@ -168,6 +168,13 @@ def _admm_batched(
         dual_norm = st.rho * jnp.linalg.norm(s_now - s_prev, axis=-1)
 
         conv = (lam_res_norm < eps_fcone) & (x_res_norm < eps_bound)
+        if opts.presolve == "operator":
+            # primal-increment gate for the operator-presolve init —
+            # see core/ds_engine.py `iteration` for the rationale
+            dx = jnp.abs(x - st.x)
+            x_inc = jnp.max(dx, axis=-1) if nv else zeros_b
+            lam_inc = jnp.max(seg(dx), axis=-1) if nc else zeros_b
+            conv = conv & (x_inc < eps_bound) & (lam_inc < eps_fcone)
         active = ~st.done & (st.it < opts.max_iter)
         n_iter = jnp.where(conv & active, st.it, st.n_iter)
 

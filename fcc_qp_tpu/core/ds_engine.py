@@ -314,12 +314,27 @@ def _factor_reduced_hybrid(
     xc_const = _gather0(x_const, ci)
     hyb = (Fcc, xc_const, Fcolj, x_const)
 
+    # OUTPUT-level validation of the refined operator: residual of the
+    # constant-term solve against the true KKT (M is symmetric, so it
+    # is its own j-major form). The seed_res gate alone is not enough:
+    # a marginal seed (res ~0.4, just under the 0.5 gate) leaves ~1e-2
+    # relative error after the thin refinement, and the ADMM then
+    # converges — residuals exactly zero — to the WRONG fixed point
+    # (equality-feasible, ~10% suboptimal objective; observed r5 on
+    # near-unloaded-gait Cassie instances, caught by the numpy oracle).
+    # A healthy refined solve lands at ~1e-7 relative here.
+    rres = ds.sub(matvec_ds(M, xfull), r)
+    rel = jnp.max(jnp.abs(rres.hi), axis=0) / (
+        1.0 + jnp.max(jnp.abs(r.hi), axis=0)
+    )
+
     # instances whose seed did not contract (||I - X M|| too large for
     # the downstream thin refinement to converge — with a carried seed
-    # also: the data jumped too far for a refresh) are re-factorized on
-    # the all-ds Schur route and selected per instance. lax.cond keeps
-    # the fallback free on healthy batches (the common case).
-    bad = seed_res > 0.5
+    # also: the data jumped too far for a refresh), or whose refined
+    # solve misses the output tolerance, are re-factorized on the
+    # all-ds Schur route and selected per instance. lax.cond keeps the
+    # fallback free on healthy batches (the common case).
+    bad = (seed_res > 0.5) | (rel > 1e-5)
 
     def _sel(d_out: DS, h_out: DS) -> DS:
         m = bad.reshape((1,) * (d_out.hi.ndim - 1) + (-1,))
@@ -696,6 +711,34 @@ def _iterate_full(
         dual_norm = st.rho * jnp.sqrt(jnp.sum(dchange * dchange, axis=0))
 
         conv = (lam_res_norm < eps_fcone) & (x_res_norm < eps_bound)
+        if opts.presolve == "operator":
+            # PRIMAL-INCREMENT gate (operator presolve only). The
+            # projection residual equals -mu wherever no constraint is
+            # active, so with released/zero duals it reads 0 while the
+            # primal is still CONTRACTING toward the optimum from the
+            # rho-biased operator init — the reference never sees this
+            # because its cold init is the exact equality optimum
+            # (fcc_qp.cpp:159-178); observed r5 as kSuccess at 10%
+            # suboptimal objective on unloaded-gait instances. Exact-
+            # presolve configs keep reference convergence semantics
+            # bit-for-bit. Box term = non-cone rows; cone term = the
+            # contact segment (mirrored exactly in the Pallas kernel).
+            dx = jnp.abs(ds.sub(x, st.x).hi)
+            parts = []
+            if ls > 0:
+                parts.append(jnp.max(dx[:ls], axis=0))
+            if ls + nc < nv:
+                parts.append(jnp.max(dx[ls + nc:], axis=0))
+            x_inc = (
+                parts[0] if len(parts) == 1
+                else jnp.maximum(parts[0], parts[1])
+            ) if parts else zeros_b
+            lam_inc = (
+                jnp.max(jax.lax.slice_in_dim(dx, ls, ls + nc, axis=0),
+                        axis=0)
+                if nc else zeros_b
+            )
+            conv = conv & (x_inc < eps_bound) & (lam_inc < eps_fcone)
         active = ~st.done & (st.it < opts.max_iter)
         n_iter = jnp.where(conv & active, st.it, st.n_iter)
 
@@ -780,6 +823,7 @@ def _iterate_full(
             st.done, st.n_iter, itv_in,
             shape=shape, K=K, max_iter=opts.max_iter,
             interpret=pallas_interpret,
+            inc_gate=opts.presolve == "operator",
         )
         st = st._replace(
             it=st.it + K,
@@ -1325,6 +1369,14 @@ def _iterate_reduced(
         dual_norm = st.rho * jnp.sqrt(jnp.sum(dchange * dchange, axis=0))
 
         conv = (lam_res_norm < eps_fcone) & (x_res_norm < eps_bound)
+        if opts.presolve == "operator":
+            # primal-increment gate — see the full-splitting loop's
+            # comment: with operator presolve, zero projection residual
+            # does NOT imply the primal has finished contracting
+            winc = jnp.abs(ds.sub(xc, st.xc).hi) * wk
+            x_inc = jnp.max(winc[:kb], axis=0) if kb else zeros_b
+            lam_inc = jnp.max(winc[kb:], axis=0) if nc else zeros_b
+            conv = conv & (x_inc < eps_bound) & (lam_inc < eps_fcone)
         active = ~st.done & (st.itv < opts.max_iter)
         n_iter = jnp.where(conv & active, st.itv, st.n_iter)
 
@@ -1430,6 +1482,7 @@ def _iterate_reduced(
             shape=rshape, K=K, max_iter=opts.max_iter,
             interpret=pallas_interpret,
             weights=wk, cone_weights=wl,
+            inc_gate=opts.presolve == "operator",
         )
         s_new = _set_seg(x_bar, lam_bar, kb, nc)
         mu_new = _set_seg(mu_x, mu_lam, kb, nc)

@@ -138,6 +138,17 @@ def _admm(
         mu_lam = st.mu_lam + lam_res
 
         conv = (lam_res_norm < eps_fcone) & (x_res_norm < eps_bound)
+        if opts.presolve == "operator":
+            # primal-increment gate: with the rho-regularized operator
+            # init (instead of the reference's exact presolve,
+            # fcc_qp.cpp:159-178), zero projection residual does not
+            # imply the primal has finished contracting toward the
+            # optimum — see core/ds_engine.py `iteration` for the full
+            # rationale. Exact-presolve runs keep reference semantics.
+            dx = jnp.abs(x - st.x)
+            x_inc = jnp.max(dx) if nv > 0 else zero
+            lam_inc = jnp.max(jnp.abs(seg(dx))) if nc > 0 else zero
+            conv = conv & (x_inc < eps_bound) & (lam_inc < eps_fcone)
         n_iter = jnp.where(conv, st.it, st.n_iter)
 
         # Masked commit: instances already done keep their state frozen,

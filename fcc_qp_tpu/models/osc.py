@@ -60,6 +60,14 @@ class RobotModel:
     nc_rows: int  # contact-constraint rows in A_eq
     n_slack: int = 0  # soft-contact slack vars appended after lambda_c
     mu: float = 0.8
+    # recommended PDAS re-linearization depth for the flagship engine
+    # on this model's geometry (the analog of per-robot solver tuning a
+    # reference user does via FCCQPOptions): quadruped point-feet cold
+    # states misclassify more cone rows at the coarse point and need
+    # deeper continuation for 100% convergence at 1e-6 (measured r4/r5:
+    # ns=4 -> 97.6% cold, ns=6 -> 100%); cassie/humanoid reach 100% at
+    # the cheaper 4. bench.py and the scaling sweep default to this.
+    polish_newton_steps: int = 4
 
     @property
     def shape(self) -> ProblemShape:
@@ -80,7 +88,8 @@ CASSIE = RobotModel("cassie", nv_dof=22, nu=10, nh=6, nc=12, nc_rows=10,
                     n_slack=10)
 
 # Quadruped (A1/Go1-class): 18 dof, 12 actuators, 4 point feet.
-QUADRUPED = RobotModel("quadruped", nv_dof=18, nu=12, nh=0, nc=12, nc_rows=12)
+QUADRUPED = RobotModel("quadruped", nv_dof=18, nu=12, nh=0, nc=12,
+                       nc_rows=12, polish_newton_steps=6)
 
 # Humanoid (Digit/H1-class): bigger KKT system, 8 contact cones
 # (4-vertex patch per foot).
@@ -90,13 +99,26 @@ MODELS = {m.name: m for m in (CASSIE, QUADRUPED, HUMANOID)}
 
 
 class _SmoothWalk:
-    """Low-pass random walk: x_{t+1} = (1-a) x_t + a * noise."""
+    """Low-pass random walk: x_{t+1} = (1-a) x_t + a * noise.
+
+    Initialized AT the stationary distribution (std = scale *
+    sqrt(a/(2-a))), not at the noise scale: a full-scale start is
+    sqrt(2/a) times the stationary std (32x at a=0.002), and the
+    resulting decay transient produced ~200 genuinely INFEASIBLE
+    quadruped QPs at the head of every generated log (oversized bias
+    forces vs torque bounds calibrated on the stationary tail) —
+    observed r5 as a 97.55% cold convergence floor no solver setting
+    could move. A real control log has no such warm-up artifact."""
 
     def __init__(self, rng, shape, alpha=0.15, scale=1.0):
         self.rng = rng
         self.alpha = alpha
         self.scale = scale
-        self.x = rng.normal(size=shape) * scale
+        self.x = (
+            rng.normal(size=shape)
+            * scale
+            * np.sqrt(alpha / (2.0 - alpha))
+        )
 
     def step(self):
         self.x = (1 - self.alpha) * self.x + self.alpha * self.rng.normal(

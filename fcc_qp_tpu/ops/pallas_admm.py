@@ -57,7 +57,7 @@ def _kernel(
     ox_hi, ox_lo, oxb_hi, oxb_lo, olbar_hi, olbar_lo,
     omux_hi, omux_lo, omul_hi, omul_lo, ov_hi, ov_lo,
     odone, on_iter, oitv, oxrn, olrn, oprim, odual,
-    *, nv, nc, ls, K, max_iter,
+    *, nv, nc, ls, K, max_iter, inc_gate,
 ):
     f32 = jnp.float32
     ncones = nc // 3
@@ -199,6 +199,32 @@ def _kernel(
         dual = rho * jnp.sqrt(jnp.sum(dchange * dchange, axis=0, keepdims=True))
 
         conv = (lrn < eps_fcone) & (xrn < eps_bound)
+        if inc_gate:
+            # primal-increment gate, mirroring the XLA loops exactly
+            # (core/ds_engine.py `iteration`): with operator presolve,
+            # zero projection residual does not imply the primal has
+            # finished contracting. Box term = non-cone rows (static
+            # slices — Mosaic-friendly), cone term = the segment.
+            dx = jnp.abs(ds.sub(x, c.x).hi)
+            dxw = dx * wx
+            parts = []
+            if ls > 0:
+                parts.append(jnp.max(dxw[:ls], axis=0, keepdims=True))
+            if ls + nc < nv:
+                parts.append(
+                    jnp.max(dxw[ls + nc:], axis=0, keepdims=True)
+                )
+            if parts:
+                x_inc = (
+                    parts[0] if len(parts) == 1
+                    else jnp.maximum(parts[0], parts[1])
+                )
+                conv = conv & (x_inc < eps_bound)
+            if nc:
+                lam_inc = jnp.max(
+                    dx[ls:ls + nc] * wl, axis=0, keepdims=True
+                )
+                conv = conv & (lam_inc < eps_fcone)
         active = (c.done == 0) & (c.itv < max_iter)
         n_iter = jnp.where(conv & active, c.itv, c.n_iter)
 
@@ -414,7 +440,7 @@ def _dup(spec_shape, index_map):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("shape", "K", "max_iter", "interpret"),
+    static_argnames=("shape", "K", "max_iter", "interpret", "inc_gate"),
 )
 def admm_chunk_pallas(
     Fj: DS,
@@ -440,6 +466,7 @@ def admm_chunk_pallas(
     interpret: bool = False,
     weights=None,
     cone_weights=None,
+    inc_gate: bool = False,
 ):
     """Run up to K fused ds ADMM iterations per batch tile.
 
@@ -508,7 +535,8 @@ def admm_chunk_pallas(
     )
 
     kernel = functools.partial(
-        _kernel, nv=nv, nc=nc, ls=ls, K=K, max_iter=max_iter
+        _kernel, nv=nv, nc=nc, ls=ls, K=K, max_iter=max_iter,
+        inc_gate=inc_gate,
     )
 
     res = pl.pallas_call(

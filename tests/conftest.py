@@ -29,9 +29,13 @@ jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: the suite's large jitted programs cost
 # minutes of XLA:CPU compile time per cold run; repeat runs (and the
 # per-file isolated processes of run_tests.py) skip them entirely.
+# ISA-DEDICATED directory: the cache does not key on --xla_cpu_max_isa,
+# and a cache shared with FMA-ISA CPU processes can hand this suite an
+# executable whose contracted FMA code corrupts ds arithmetic (observed
+# r5: a poisoned entry made 1/1024 instances stall at 3e-6).
 jax.config.update(
     "jax_compilation_cache_dir",
-    os.environ.get("FCCQP_XLA_CACHE", "/tmp/fccqp_xla_cache"),
+    os.environ.get("FCCQP_XLA_CACHE", "/tmp/fccqp_xla_cache_sse42"),
 )
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 

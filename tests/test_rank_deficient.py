@@ -119,5 +119,8 @@ class TestRankDeficientAeq:
         sol, _ = solve_batched_ds(to_ds_batch(st), CASSIE_SHAPE, opts)
         # the polish trajectory lands within ~2e-6 relative objective on
         # this deliberately degenerate problem (coarse-tol active-set
-        # read-off on a flat manifold)
-        _check(sol, st, z_ref, atol=0.05, ftol=1e-5)
+        # read-off on a flat manifold). The z band is a loose sanity
+        # check only: curvature along the near-null directions is
+        # ~1e-6, so 1e-5-relative objective agreement bounds |dz| by
+        # ~sqrt(2*1e-5*scale/1e-6) — fractions of a unit, not 1e-3.
+        _check(sol, st, z_ref, atol=0.5, ftol=1e-5)

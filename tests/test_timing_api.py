@@ -79,7 +79,21 @@ class TestFCCQPEngines:
             assert sol.details.solve_status == 0
             assert sol.z.shape == (60,)
             zs[engine] = sol.z
-        assert np.max(np.abs(zs["f64"] - zs["ds"])) < 1e-3
+        # both engines converge to 1e-6 ADMM residual, but OSC QPs have
+        # near-flat directions (task-space curvature ~1e-6) where two
+        # valid 1e-6 solutions sit ~1e-2 apart in z; the well-posed
+        # comparison is the objective, with a loose z sanity band
+        # (same rationale as tests/test_rank_deficient._check)
+        assert np.max(np.abs(zs["f64"] - zs["ds"])) < 5e-2
+        qp = qps[0]
+
+        def obj(z):
+            return 0.5 * z @ qp["Q"] @ z + qp["b"] @ z
+
+        rel = abs(obj(zs["ds"]) - obj(zs["f64"])) / (
+            1.0 + abs(obj(zs["f64"]))
+        )
+        assert rel < 1e-6, f"objective mismatch {rel}"
 
     def test_ds_engine_feasibility_and_warm(self, walking):
         qps, _ = walking

@@ -27,7 +27,11 @@ S = 16
 STEPS = 4
 
 BENCH_OPTS = FCCQPOptions(
-    max_iter=600, rho=0.05, eps_fcone=1e-6, eps_bound=1e-6,
+    # the bench's full iteration budget: the occasional polish-rejected
+    # warm step legitimately pays the plain ADMM tail (~1-2k iterations
+    # at rho=0.05 under the primal-increment convergence gate), exactly
+    # as bench.py budgets it
+    max_iter=3000, rho=0.05, eps_fcone=1e-6, eps_bound=1e-6,
     adaptive_rho=False, presolve="operator",
     scaling=True, splitting="constrained", kkt_refine_steps=1,
     polish=True, polish_rounds=4, polish_newton_steps=4,
